@@ -192,6 +192,51 @@ def ref_decompress_frame(frame: bytes, out_size: int) -> bytes:
     return bytes(out)
 
 
+def build_cli() -> Path | None:
+    """Build the reference lz4 CLI out-of-tree; return its path or None."""
+    if CLI_PATH.exists():
+        return CLI_PATH
+    srcs = [REF_DIR / "programs" / f
+            for f in ("lz4cli.c", "lz4io.c", "bench.c", "datagen.c")]
+    srcs += [REF_DIR / "lib" / f
+             for f in ("lz4.c", "lz4hc.c", "lz4frame.c", "lz4sg.c", "xxhash.c")]
+    if not all(s.exists() for s in srcs):
+        return None
+    BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    cmd = ["gcc", "-O2", "-DXXH_NAMESPACE=LZ4_",
+           "-I", str(REF_DIR / "lib"), "-I", str(REF_DIR / "programs"),
+           *(str(s) for s in srcs), "-o", str(CLI_PATH)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+    except Exception:
+        return None
+    return CLI_PATH
+
+
+def ref_cli_decompress(data: bytes) -> bytes:
+    """Decode a (possibly multi-frame) .lz4 stream with the reference CLI."""
+    cli = build_cli()
+    assert cli is not None, "reference CLI unavailable"
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        src = Path(td) / "in.lz4"
+        src.write_bytes(data)
+        p = subprocess.run([str(cli), "-d", "-c", str(src)],
+                           capture_output=True, timeout=120)
+        assert p.returncode == 0, p.stderr.decode()
+        return p.stdout
+
+
+def ref_cli_compress(data: bytes, args: tuple = ()) -> bytes:
+    """Compress with the reference CLI (stdin -> stdout)."""
+    cli = build_cli()
+    assert cli is not None, "reference CLI unavailable"
+    p = subprocess.run([str(cli), "-z", "-c", *args], input=data,
+                       capture_output=True, timeout=120)
+    assert p.returncode == 0, p.stderr.decode()
+    return p.stdout
+
+
 # ---------------------------------------------------------------------------
 # scatter-gather layer
 # ---------------------------------------------------------------------------
