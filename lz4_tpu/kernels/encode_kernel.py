@@ -1,0 +1,301 @@
+"""Pallas TPU block encoder (fast/greedy).
+
+Greedy single-probe hash compression on the TPU scalar core, batched over
+blocks via the grid.  Parity: ``LZ4_compress_fast`` semantics (reference
+lz4.c:510-800) -- 5-byte match index (as the reference's 64-bit build,
+lz4.c:462-468), skip acceleration (lz4.c:586-594), backward extension
+(lz4.c:635), spec parsing restrictions (last 5 literals, 12-byte match
+tail).  Output is a valid LZ4 block stream; byte-identity with the C
+encoder is NOT a goal (the spec allows any parse), ratio parity is.
+
+Input bytes arrive as ``val32`` lanes: val32[p] = LE32 word at byte p
+(computed with vector ops on device).  byte[p] == val32[p] & 0xFF, and
+4-byte match verification / stride-4 extension are single compares.
+
+The hash table lives in SMEM and is shared across grid steps: entries are
+tagged with the block index (entry = b * 2^18 + pos + 1), so stale entries
+from earlier blocks never validate and the table needs zeroing only once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import on_cpu
+from ..spec import compress_bound
+
+HASH_LOG = 13
+HASH_SIZE = 1 << HASH_LOG
+POS_BITS = 18          # positions < 2^18 (blocks <= 192KB in this kernel)
+POS_MASK = (1 << POS_BITS) - 1
+SKIP_TRIGGER = 6
+
+MAX_BLOCK = 1 << POS_BITS
+
+
+@functools.partial(jax.jit, static_argnames=("row_bytes",))
+def bytes_to_val32_rows(packed_words: jax.Array, row_bytes: int) -> jax.Array:
+    """[B, W] int32 packed LE words -> [B, row_bytes] int32 where lane p is
+    the LE32 read at byte offset p (4-byte lookahead packed per lane).
+
+    Pure vector work: unpack bytes then recombine with shifts of rolled
+    lanes (jnp.roll on the minor axis).
+    """
+    w = packed_words.astype(jnp.int32)
+    b0 = w & 0xFF
+    b1 = (w >> 8) & 0xFF
+    b2 = (w >> 16) & 0xFF
+    b3 = (w >> 24) & 0xFF
+    by = jnp.stack([b0, b1, b2, b3], axis=-1).reshape(w.shape[0], row_bytes)
+    v = (by
+         + (jnp.roll(by, -1, axis=1) << 8)
+         + (jnp.roll(by, -2, axis=1) << 16)
+         + (jnp.roll(by, -3, axis=1) << 24))
+    return v
+
+
+def _hash5(v32, b4):
+    """13-bit hash of 5 bytes (our own mix; role of lz4.c:462-468)."""
+    x = (v32 ^ (b4 * jnp.int32(-1640531535))) * jnp.int32(-1640531535)
+    return (x >> (32 - HASH_LOG)) & (HASH_SIZE - 1)
+
+
+def _make_encode_kernel(NS: int, M: int, acceleration: int):
+    def kernel(slen_ref, val_hbm, out_hbm, olen_ref,
+               vsmem, osmem, table, sem_in, sem_out):
+        b = pl.program_id(0)
+        n = slen_ref[b]
+
+        @pl.when(b == 0)
+        def _zero_table():
+            def z(i, _):
+                table[i] = -1
+                return 0
+            lax.fori_loop(0, HASH_SIZE, z, 0)
+
+        cp_in = pltpu.make_async_copy(val_hbm.at[b], vsmem.at[:, 0:NS],
+                                      sem_in)
+        cp_in.start()
+        cp_in.wait()
+
+        tag = b << POS_BITS
+
+        def val(p):
+            return vsmem[0, p]
+
+        def byte(p):
+            return vsmem[0, p] & 0xFF
+
+        def emit_len_ext(op, extra):
+            """Write length-extension bytes (value 15 already in token)."""
+            def cond(c):
+                e, _ = c
+                return e >= 255
+
+            def body(c):
+                e, op2 = c
+                osmem[0, op2] = 255
+                return e - 255, op2 + 1
+
+            extra, op = lax.while_loop(cond, body, (extra, op))
+            osmem[0, op] = extra
+            return op + 1
+
+        def emit_seq(op, anchor, litlen, offset, mlen):
+            """Token, literal run, offset, match-length extension."""
+            ml_code = mlen - 4
+            tok_lit = jnp.minimum(litlen, 15)
+            tok_ml = jnp.minimum(ml_code, 15)
+            osmem[0, op] = (tok_lit << 4) | tok_ml
+            op = op + 1
+            op = lax.cond(litlen >= 15,
+                          lambda o: emit_len_ext(o, litlen - 15),
+                          lambda o: o, op)
+            # literal wildcopy (4-wide; slack lanes absorb the over-copy)
+            src_base = anchor - op
+            lit_end = op + litlen
+
+            def lit4(k):
+                osmem[0, k] = byte(src_base + k)
+                osmem[0, k + 1] = byte(src_base + k + 1)
+                osmem[0, k + 2] = byte(src_base + k + 2)
+                osmem[0, k + 3] = byte(src_base + k + 3)
+                return k + 4
+            lax.while_loop(lambda k: k < lit_end, lit4, op)
+            op = lit_end
+            osmem[0, op] = offset & 0xFF
+            osmem[0, op + 1] = offset >> 8
+            op = op + 2
+            op = lax.cond(ml_code >= 15,
+                          lambda o: emit_len_ext(o, ml_code - 15),
+                          lambda o: o, op)
+            return op
+
+        def emit_final(op, anchor):
+            litlen = n - anchor
+            tok_lit = jnp.minimum(litlen, 15)
+            osmem[0, op] = tok_lit << 4
+            op = op + 1
+            op = lax.cond(litlen >= 15,
+                          lambda o: emit_len_ext(o, litlen - 15),
+                          lambda o: o, op)
+            src_base = anchor - op
+            lit_end = op + litlen
+
+            def lit4(k):
+                osmem[0, k] = byte(src_base + k)
+                osmem[0, k + 1] = byte(src_base + k + 1)
+                osmem[0, k + 2] = byte(src_base + k + 2)
+                osmem[0, k + 3] = byte(src_base + k + 3)
+                return k + 4
+            lax.while_loop(lambda k: k < lit_end, lit4, op)
+            return lit_end
+
+        mflimit = n - 12      # last position a match may start (inclusive)
+        matchlimit = n - 5    # matches may extend up to here (exclusive)
+
+        def main_body(state):
+            ip, op, anchor, scnt = state
+            h = _hash5(val(ip), val(ip + 4) & 0xFF)
+            e = table[h]
+            table[h] = tag | ip
+            q = e & POS_MASK
+            # logical_and does not short-circuit: clamp q before loading so
+            # stale-entry probes never index outside the SMEM row
+            qc = jnp.minimum(q, NS - 1)
+            good = jnp.logical_and(
+                (e >> POS_BITS) == b,
+                jnp.logical_and(e >= 0, jnp.logical_and(
+                    ip - q <= 65535,
+                    jnp.logical_and(val(qc) == val(ip),
+                                    (val(qc + 4) & 0xFF) == (val(ip + 4) & 0xFF)))))
+
+            def with_match(ip, op, anchor, q):
+                # backward extension
+                def bcond(c):
+                    mp, qq = c
+                    return jnp.logical_and(
+                        jnp.logical_and(mp > anchor, qq > 0),
+                        byte(mp - 1) == byte(qq - 1))
+
+                def bbody(c):
+                    mp, qq = c
+                    return mp - 1, qq - 1
+
+                mp, q2 = lax.while_loop(bcond, bbody, (ip, q))
+                # forward extension: stride-4 via val32 equality, then tail
+                ml0 = ip + 5 - mp
+
+                def f4cond(ml):
+                    return jnp.logical_and(
+                        mp + ml + 4 <= matchlimit,
+                        val(q2 + ml) == val(mp + ml))
+
+                ml = lax.while_loop(f4cond, lambda ml: ml + 4, ml0)
+
+                def f1cond(ml):
+                    return jnp.logical_and(
+                        mp + ml < matchlimit,
+                        byte(q2 + ml) == byte(mp + ml))
+
+                ml = lax.while_loop(f1cond, lambda ml: ml + 1, ml)
+
+                op2 = emit_seq(op, anchor, mp - anchor, mp - q2, ml)
+                new_ip = mp + ml
+                # densify index near the match end (lz4.c idiom)
+                @pl.when(new_ip - 2 > 0)
+                def _():
+                    p2 = new_ip - 2
+                    table[_hash5(val(p2), val(p2 + 4) & 0xFF)] = tag | p2
+                return (new_ip, op2, new_ip,
+                        jnp.int32(acceleration << SKIP_TRIGGER))
+
+            def no_match(ip, op, anchor, scnt):
+                step = scnt >> SKIP_TRIGGER
+                return ip + step, op, anchor, scnt + 1
+
+            return lax.cond(good,
+                            lambda: with_match(ip, op, anchor, q),
+                            lambda: no_match(ip, op, anchor, scnt))
+
+        def main_cond(state):
+            ip, op, anchor, scnt = state
+            return ip <= mflimit
+
+        init = (jnp.int32(1), jnp.int32(0), jnp.int32(0),
+                jnp.int32(acceleration << SKIP_TRIGGER))
+        run = n >= 13
+        ip, op, anchor, _ = lax.while_loop(
+            lambda s: jnp.logical_and(run, main_cond(s)), main_body, init)
+
+        op = emit_final(op, anchor)
+        olen_ref[b] = op
+
+        cp_out = pltpu.make_async_copy(osmem.at[:, 0:M], out_hbm.at[b],
+                                       sem_out)
+        cp_out.start()
+        cp_out.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("NS", "M", "acceleration", "interpret"))
+def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret):
+    B = val_rows.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, NS + 8), jnp.int32),
+            pltpu.SMEM((1, M + 8), jnp.int32),
+            pltpu.SMEM((HASH_SIZE,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out, olen = pl.pallas_call(
+        _make_encode_kernel(NS, M, acceleration),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(slen, val_rows.reshape(B, 1, NS))
+    return out.reshape(B, M), olen
+
+
+def encode_blocks(val32_rows: jax.Array, src_lens: jax.Array,
+                  acceleration: int = 1):
+    """Compress a batch of independent blocks.
+
+    Args:
+      val32_rows: [B, NS] int32, lane p = LE32 word at byte p (see
+        ``bytes_to_val32_rows``); NS must be a multiple of 128.
+      src_lens: [B] int32 source lengths (each <= NS, < 2^18).
+
+    Returns (out [B, M] int32 bytes, olen [B] int32 compressed lengths),
+    with M = 128-aligned compress_bound(NS).
+    """
+    B, NS = val32_rows.shape
+    if NS % 128:
+        raise ValueError("NS must be a multiple of 128")
+    if NS > MAX_BLOCK:
+        raise ValueError(f"block too large for kernel ({NS} > {MAX_BLOCK})")
+    M = -(-compress_bound(NS) // 128) * 128
+    return _encode_blocks(val32_rows, src_lens.astype(jnp.int32),
+                          NS=NS, M=M, acceleration=int(acceleration),
+                          interpret=on_cpu())

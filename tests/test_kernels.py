@@ -1,0 +1,130 @@
+"""Pallas kernel tests (CPU interpret mode; real-TPU runs live in bench.py).
+
+The kernels must match the host oracle bit-for-bit on decode and produce
+reference-decodable output on encode.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lz4_tpu.kernels.common import np_pack_rows, bytes_to_i32_rows, i32_rows_to_bytes
+from lz4_tpu.kernels.decode_kernel import decode_blocks
+from lz4_tpu.kernels.encode_kernel import bytes_to_val32_rows, encode_blocks
+from lz4_tpu.ops.block_np import compress_block, decompress_block
+from lz4_tpu.utils.datagen import gen_buffer, incompressible
+
+from . import oracle
+
+NS = 2048
+
+
+def pack_comp(comps):
+    M = ((max(len(c) for c in comps) + 127) // 128) * 128 or 128
+    B = len(comps)
+    arr = np.zeros((B, M), np.int32)
+    lens = np.zeros((B,), np.int32)
+    for i, c in enumerate(comps):
+        arr[i, :len(c)] = np.frombuffer(bytes(c), np.uint8)
+        lens[i] = len(c)
+    return jnp.array(arr), jnp.array(lens)
+
+
+BLOCKS = ([gen_buffer(NS, p, i) for i, p in enumerate([0.3, 0.6, 0.9, 0.99])]
+          + [b"", b"x" * 13, b"hello world hello world!", b"\x00" * NS,
+             incompressible(NS), b"ab" * (NS // 2)])
+
+
+def test_decode_kernel_matches_oracle():
+    comps = [compress_block(b) for b in BLOCKS]
+    arr, lens = pack_comp(comps)
+    out, olen = decode_blocks(arr, lens, NS)
+    out, olen = np.array(out), np.array(olen)
+    for i, b in enumerate(BLOCKS):
+        assert olen[i] == len(b), i
+        assert bytes(out[i, :olen[i]].astype(np.uint8)) == b, i
+
+
+def test_decode_kernel_rejects_malformed():
+    comps = [compress_block(b) for b in BLOCKS if len(b) > 100]
+    arr, lens = pack_comp(comps)
+    bad_lens = np.array(lens) - 3          # truncated streams
+    _, olen = decode_blocks(arr, jnp.array(bad_lens), NS)
+    assert (np.array(olen) == -1).all()
+    # offset-0 block
+    bad = bytes([0x10, ord("A"), 0x00, 0x00])
+    arr2, lens2 = pack_comp([bad])
+    _, olen2 = decode_blocks(arr2, lens2, NS)
+    assert np.array(olen2)[0] == -1
+
+
+def test_decode_kernel_output_cap_enforced():
+    comps = [compress_block(BLOCKS[0])]
+    arr, lens = pack_comp(comps)
+    _, olen = decode_blocks(arr, lens, len(BLOCKS[0]) - 1)
+    assert np.array(olen)[0] == -1
+
+
+def test_decode_kernel_dict_mode():
+    dict_ = gen_buffer(1024, 0.7, 40)
+    data = dict_[100:500] + gen_buffer(200, 0.5, 41) + dict_[700:900]
+    comp = compress_block(data, dict_=dict_)
+    arr, lens = pack_comp([comp])
+    P = 1024
+    drow = np.zeros((1, P), np.int32)
+    db = np.frombuffer(dict_, np.uint8)
+    drow[0, P - len(db):] = db
+    out, olen = decode_blocks(arr, lens, 1024,
+                              jnp.array(drow),
+                              jnp.array([len(db)], np.int32))
+    assert int(olen[0]) == len(data)
+    assert bytes(np.array(out)[0, :len(data)].astype(np.uint8)) == data
+
+
+def test_encode_kernel_roundtrip_and_ratio():
+    packed, lens = np_pack_rows(BLOCKS, NS)
+    val = bytes_to_val32_rows(jnp.array(packed), NS)
+    out, olen = encode_blocks(val, jnp.array(lens))
+    out, olen = np.array(out), np.array(olen)
+    for i, b in enumerate(BLOCKS):
+        comp = bytes(out[i, :olen[i]].astype(np.uint8))
+        assert decompress_block(comp, len(b)) == b, i
+        if oracle.available() and b:
+            assert oracle.ref_decompress(comp, len(b)) == b, i
+            ref = len(oracle.ref_compress(b))
+            assert len(comp) <= ref * 1.02 + 8, (i, len(comp), ref)
+
+
+def test_encode_then_decode_kernels():
+    """Full TPU-path round trip: encode kernel -> decode kernel."""
+    data = [gen_buffer(NS, 0.7, 70 + i) for i in range(4)]
+    packed, lens = np_pack_rows(data, NS)
+    val = bytes_to_val32_rows(jnp.array(packed), NS)
+    cout, clen = encode_blocks(val, jnp.array(lens))
+    out, olen = decode_blocks(cout, clen, NS)
+    out, olen = np.array(out), np.array(olen)
+    for i, b in enumerate(data):
+        assert olen[i] == len(b)
+        assert bytes(out[i, :olen[i]].astype(np.uint8)) == b
+
+
+def test_acceleration_parameter():
+    data = [gen_buffer(NS, 0.7, 99)]
+    packed, lens = np_pack_rows(data, NS)
+    val = bytes_to_val32_rows(jnp.array(packed), NS)
+    sizes = []
+    for acc in (1, 8):
+        _, olen = encode_blocks(val, jnp.array(lens), acceleration=acc)
+        sizes.append(int(olen[0]))
+    assert sizes[0] <= sizes[1]
+
+
+def test_pack_unpack_helpers():
+    data = [gen_buffer(333, 0.5, 7), b"", incompressible(1024)]
+    packed, lens = np_pack_rows(data, 1024 + 128 - 24)
+    rows = bytes_to_i32_rows(jnp.array(packed), 1128)
+    rows_np = np.array(rows)
+    for i, b in enumerate(data):
+        assert bytes(rows_np[i, :len(b)].astype(np.uint8)) == b
+    back = i32_rows_to_bytes(rows)
+    assert np.array_equal(np.array(back), np.array(packed))
