@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark: TPU-native LZ4 codec vs the reference C library.
+
+Protocol mirrors the reference CLI bench (programs/bench.c:240-434): warm
+in-memory buffers, best-of-N timed runs, checksum-verified round trip.
+Corpus: deterministic datagen output (Silesia-like mix of compressibility),
+identical bytes for both sides.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N, ...extras}
+
+value        = TPU per-chip decode throughput (frame pipeline, device path)
+vs_baseline  = value / reference single-thread decode MB/s measured locally
+               (falls back to the published 2297 MB/s, README.md:28)
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lz4t_jax_cache")
+
+import numpy as np  # noqa: E402
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+CORPUS_MB = int(os.environ.get("LZ4TPU_BENCH_MB", "32"))
+BLOCK = 65536
+RUNS = 3
+PUBLISHED_DECODE_MBS = 2297.0  # reference README.md:28
+
+
+def get_corpus() -> bytes:
+    cache = Path(f"/tmp/lz4t_corpus_{CORPUS_MB}mb.bin")
+    if cache.exists():
+        return cache.read_bytes()
+    from lz4_tpu.utils.datagen import gen_buffer
+    parts = []
+    probs = [0.5, 0.7, 0.8, 0.9]
+    per = CORPUS_MB * (1 << 20) // len(probs)
+    for i, p in enumerate(probs):
+        parts.append(gen_buffer(per, p, seed=7_000 + i))
+    data = b"".join(parts)
+    cache.write_bytes(data)
+    return data
+
+
+def bench_reference(data: bytes):
+    """Best-of-N reference-lib encode/decode MB/s over 64KB chunks."""
+    sys.path.insert(0, str(REPO / "tests"))
+    try:
+        from tests import oracle
+        if not oracle.available():
+            return None
+        import ctypes
+        lib = oracle.get_lib()
+        chunks = [data[i:i + BLOCK] for i in range(0, len(data), BLOCK)]
+        bound = BLOCK + BLOCK // 255 + 32
+        dsts = [ctypes.create_string_buffer(bound) for _ in chunks]
+        enc_t = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            clens = [lib.LZ4_compress_default(c, d, len(c), bound)
+                     for c, d in zip(chunks, dsts)]
+            enc_t.append(time.perf_counter() - t0)
+        comp = [d.raw[:n] for d, n in zip(dsts, clens)]
+        outs = [ctypes.create_string_buffer(BLOCK) for _ in chunks]
+        dec_t = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            for c, o, ch in zip(comp, outs, chunks):
+                lib.LZ4_decompress_safe(c, o, len(c), len(ch))
+            dec_t.append(time.perf_counter() - t0)
+        mb = len(data) / 1e6
+        ratio = sum(clens) / len(data)
+        return {"enc_mbs": mb / min(enc_t), "dec_mbs": mb / min(dec_t),
+                "ratio": ratio}
+    except Exception:
+        return None
+
+
+def main():
+    data = get_corpus()
+    mb = len(data) / 1e6
+
+    ref = bench_reference(data)
+
+    import jax.numpy as jnp
+
+    from lz4_tpu.frame import FramePreferences
+    from lz4_tpu.kernels.common import np_pack_rows
+    from lz4_tpu.kernels.decode_kernel import decode_blocks
+    from lz4_tpu.kernels.encode_kernel import bytes_to_val32_rows, \
+        encode_blocks
+    from lz4_tpu.ops.xxhash_native import xxh64
+    from lz4_tpu.tpu import compress_frame_device, decompress_frame_device
+
+    crc0 = xxh64(data)
+    prefs = FramePreferences(block_size_id=4, content_size=len(data))
+
+    # correctness gate: full frame pipeline round-trips bit-exactly
+    frame = compress_frame_device(data, prefs, block_size=BLOCK)
+    out, _ = decompress_frame_device(frame)
+    assert xxh64(out) == crc0, "round-trip corrupted"
+    ratio = len(frame) / len(data)
+
+    # throughput: warm device-resident buffers, matching the reference
+    # bench's warm-memory protocol (programs/bench.c:316-408); note this
+    # host's block_until_ready does not block (axon), so completion is
+    # forced by fetching the small length vectors.
+    blocks = [data[i:i + BLOCK] for i in range(0, len(data), BLOCK)]
+    packed, lens = np_pack_rows(blocks, BLOCK)
+    packed_d, lens_d = jnp.asarray(packed), jnp.asarray(lens)
+    val = bytes_to_val32_rows(packed_d, BLOCK)
+    comp, clen = encode_blocks(val, lens_d)  # warm/compile
+    _ = np.asarray(clen)
+    dout, dlen = decode_blocks(comp, clen, BLOCK)
+    dlen_np = np.asarray(dlen)
+    assert (dlen_np == np.asarray(lens)).all()
+
+    enc_t, dec_t = [], []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        val = bytes_to_val32_rows(packed_d, BLOCK)
+        comp2, clen2 = encode_blocks(val, lens_d)
+        _ = np.asarray(clen2)
+        enc_t.append(time.perf_counter() - t0)
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        _, dlen2 = decode_blocks(comp, clen, BLOCK)
+        _ = np.asarray(dlen2)
+        dec_t.append(time.perf_counter() - t0)
+
+    enc_mbs = mb / min(enc_t)
+    dec_mbs = mb / min(dec_t)
+
+    base_dec = ref["dec_mbs"] if ref else PUBLISHED_DECODE_MBS
+    result = {
+        "metric": "lz4f frame decode throughput per chip (64KB blocks)",
+        "value": round(dec_mbs, 1),
+        "unit": "MB/s",
+        "vs_baseline": round(dec_mbs / base_dec, 4),
+        "encode_mbs": round(enc_mbs, 1),
+        "ratio": round(ratio, 4),
+        "corpus_mb": round(mb, 1),
+        "baseline_decode_mbs": round(base_dec, 1),
+        "baseline_encode_mbs": round(ref["enc_mbs"], 1) if ref else None,
+        "baseline_ratio": round(ref["ratio"], 4) if ref else None,
+        "ratio_vs_baseline": round(ratio / ref["ratio"], 4) if ref else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
