@@ -1,0 +1,318 @@
+"""File I/O engine: frame-format files, legacy format, sparse writing.
+
+Capability parity with the reference I/O layer (reference
+``programs/lz4io.c``): compress/decompress/test files or stdio streams,
+multi-frame concatenation, skippable-frame skipping, pass-through of
+non-LZ4 data, legacy-format encode/decode (lz4io.c:344-413, 730-779),
+sparse-file writing that seeks over zero runs (lz4io.c:641-726), and
+multi-file operation (lz4io.c:596-624).
+
+The block codec is chosen per call: the TPU device pipeline for
+block-independent frames when a TPU is present, the host codec otherwise
+(linked mode, HC levels on small inputs, no-JAX environments).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import os
+import struct
+import sys
+from pathlib import Path
+from typing import BinaryIO, Optional
+
+from . import spec
+from .frame import (
+    FrameCompressor,
+    FrameDecompressor,
+    FramePreferences,
+    Lz4FrameError,
+    compress_legacy,
+    decompress_legacy,
+)
+
+LZ4_EXTENSION = ".lz4"
+CHUNK = 4 * 1024 * 1024  # read granularity (lz4io.c uses 4MB reads)
+
+
+@dataclasses.dataclass
+class IoPrefs:
+    """The g_* knobs of lz4io.c:134-140, as a struct."""
+
+    level: int = 1                  # 0-2 fast, >=3 HC
+    block_size_id: int = 7          # -B4..7
+    block_linked: bool = False      # -BD sets linked; reference default is
+                                    # independent (lz4io.c:138)
+    block_checksum: bool = False    # -BX
+    content_checksum: bool = True   # --no-frame-crc clears
+    content_size: bool = False      # --content-size
+    sparse: bool = True             # --no-sparse clears (auto off for stdout)
+    overwrite: bool = False         # -f
+    test_mode: bool = False         # -t
+    legacy: bool = False            # -l
+    pass_through: bool = False      # -d -f on non-lz4 input
+    remove_src: bool = False        # --rm
+    use_device: Optional[bool] = None  # None = auto
+    acceleration: int = 1
+    verbosity: int = 2
+
+
+def _device_available() -> bool:
+    if os.environ.get("LZ4TPU_FORCE_CPU", "0") == "1":
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _prefs_to_frame(p: IoPrefs, content_size: Optional[int]) -> FramePreferences:
+    return FramePreferences(
+        block_size_id=p.block_size_id,
+        block_independent=not p.block_linked,
+        content_checksum=p.content_checksum,
+        block_checksum=p.block_checksum,
+        content_size=content_size,
+        level=p.level if p.level >= 3 else 0,
+        acceleration=max(1, p.acceleration),
+    )
+
+
+# ---------------------------------------------------------------------------
+# compression
+# ---------------------------------------------------------------------------
+
+def compress_stream(src: BinaryIO, dst: BinaryIO, prefs: IoPrefs,
+                    src_size: Optional[int] = None) -> tuple[int, int]:
+    """Compress a stream to a .lz4 frame; returns (read, written)."""
+    if prefs.legacy:
+        data = src.read()
+        out = compress_legacy(data, acceleration=prefs.acceleration,
+                              level=prefs.level)
+        dst.write(out)
+        return len(data), len(out)
+
+    use_device = prefs.use_device
+    if use_device is None:
+        use_device = (not prefs.block_linked and prefs.level < 3
+                      and _device_available())
+
+    if use_device:
+        from .tpu import compress_frame_device
+        data = src.read()
+        fp = _prefs_to_frame(prefs, len(data) if prefs.content_size else None)
+        frame = compress_frame_device(
+            data, fp, block_size=min(65536,
+                                     spec.BLOCK_SIZES[prefs.block_size_id]),
+            acceleration=prefs.acceleration)
+        dst.write(frame)
+        return len(data), len(frame)
+
+    fp = _prefs_to_frame(prefs, src_size if prefs.content_size else None)
+    comp = FrameCompressor(fp)
+    header = comp.begin()
+    dst.write(header)
+    total_in = 0
+    total_out = len(header)
+    while True:
+        chunk = src.read(CHUNK)
+        if not chunk:
+            break
+        total_in += len(chunk)
+        out = comp.update(chunk)
+        total_out += len(out)
+        dst.write(out)
+    tail = comp.end()
+    dst.write(tail)
+    return total_in, total_out + len(tail)
+
+
+# ---------------------------------------------------------------------------
+# decompression (with sparse writing)
+# ---------------------------------------------------------------------------
+
+class SparseWriter:
+    """Zero-run skipping writer (parity: LZ4IO_fwriteSparse,
+    lz4io.c:641-726).  Seeks over long zero runs; ftruncate fixes the tail.
+    """
+
+    GRAIN = 4096
+
+    def __init__(self, f: BinaryIO, enabled: bool):
+        self.f = f
+        self.enabled = enabled and f.seekable()
+        self.pending_zeros = 0
+        self.written = 0
+
+    def write(self, data: bytes) -> None:
+        self.written += len(data)
+        if not self.enabled:
+            self.f.write(data)
+            return
+        view = memoryview(data)
+        while view:
+            take = min(len(view), self.GRAIN)
+            piece = view[:take]
+            if piece == b"\x00" * take:
+                self.pending_zeros += take
+            else:
+                if self.pending_zeros:
+                    self.f.seek(self.pending_zeros, io.SEEK_CUR)
+                    self.pending_zeros = 0
+                self.f.write(piece)
+            view = view[take:]
+
+    def close(self) -> None:
+        if self.pending_zeros and self.enabled:
+            # materialize the final hole (lz4io writes a last byte)
+            self.f.seek(self.pending_zeros - 1, io.SEEK_CUR)
+            self.f.write(b"\x00")
+            self.pending_zeros = 0
+
+
+def decompress_stream(src: BinaryIO, dst, prefs: IoPrefs) -> tuple[int, int]:
+    """Decode all concatenated frames from ``src``; returns (read, written).
+
+    Handles LZ4F frames, legacy frames, skippable frames, and pass-through
+    (magic dispatch parity: lz4io.c:904-956).
+    """
+    total_in = total_out = 0
+    buf = src.read()
+    pos = 0
+    use_device = prefs.use_device
+    if use_device is None:
+        use_device = _device_available()
+    while pos < len(buf):
+        if len(buf) - pos < 4:
+            if total_out == 0 and not prefs.pass_through:
+                raise Lz4FrameError("input too short")
+            if prefs.pass_through:
+                dst.write(buf[pos:])
+                total_out += len(buf) - pos
+            pos = len(buf)
+            break
+        magic = struct.unpack_from("<I", buf, pos)[0]
+        if magic == spec.FRAME_MAGIC:
+            content, used = _decode_one_frame(buf[pos:], prefs, use_device)
+            dst.write(content)
+            total_out += len(content)
+            pos += used
+        elif magic == spec.LEGACY_MAGIC:
+            content, used = decompress_legacy(buf[pos:])
+            dst.write(content)
+            total_out += len(content)
+            pos += used
+        elif (magic & spec.SKIPPABLE_MAGIC_MASK) == spec.SKIPPABLE_MAGIC_MIN:
+            if len(buf) - pos < 8:
+                raise Lz4FrameError("truncated skippable frame")
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            pos += 8 + size
+        else:
+            if prefs.pass_through and total_out == 0:
+                dst.write(buf[pos:])
+                total_out += len(buf) - pos
+                pos = len(buf)
+            else:
+                raise Lz4FrameError(f"unrecognized header {magic:#010x}")
+    total_in = pos
+    return total_in, total_out
+
+
+def _decode_one_frame(data: bytes, prefs: IoPrefs, use_device: bool):
+    if use_device:
+        from .frame import decode_frame_header
+        from .tpu import decompress_frame_device
+        info = decode_frame_header(data)
+        if info.block_independent and info.block_size <= 65536:
+            return decompress_frame_device(data)
+    d = FrameDecompressor()
+    used, out = d.feed(data)
+    if not d.finished:
+        raise Lz4FrameError("truncated frame")
+    return out, used
+
+
+# ---------------------------------------------------------------------------
+# file-level operations (parity: LZ4IO_compressFilename etc.)
+# ---------------------------------------------------------------------------
+
+def _open_dst(path: str, prefs: IoPrefs) -> BinaryIO:
+    if path == "-":
+        return sys.stdout.buffer
+    if os.path.exists(path) and not prefs.overwrite:
+        raise FileExistsError(f"{path} already exists; use -f to overwrite")
+    return open(path, "wb")
+
+
+def compress_filename(src_path: str, dst_path: str, prefs: IoPrefs) -> tuple[int, int]:
+    src = sys.stdin.buffer if src_path == "-" else open(src_path, "rb")
+    try:
+        size = None
+        if src_path != "-":
+            size = os.path.getsize(src_path)
+        dst = _open_dst(dst_path, prefs)
+        try:
+            r, w = compress_stream(src, dst, prefs, size)
+        finally:
+            if dst is not sys.stdout.buffer:
+                dst.close()
+    finally:
+        if src is not sys.stdin.buffer:
+            src.close()
+    if prefs.remove_src and src_path != "-":
+        os.unlink(src_path)
+    return r, w
+
+
+def decompress_filename(src_path: str, dst_path: str, prefs: IoPrefs) -> tuple[int, int]:
+    src = sys.stdin.buffer if src_path == "-" else open(src_path, "rb")
+    try:
+        if prefs.test_mode:
+            sink = io.BytesIO()
+            r, w = decompress_stream(src, sink, prefs)
+            return r, w
+        dst = _open_dst(dst_path, prefs)
+        sparse = SparseWriter(dst, prefs.sparse and dst is not sys.stdout.buffer)
+        try:
+            r, w = decompress_stream(src, sparse, prefs)
+            sparse.close()
+            if sparse.enabled:
+                dst.truncate(sparse.written)
+        finally:
+            if dst is not sys.stdout.buffer:
+                dst.close()
+    finally:
+        if src is not sys.stdin.buffer:
+            src.close()
+    if prefs.remove_src and src_path != "-":
+        os.unlink(src_path)
+    return r, w
+
+
+def compress_multiple(paths, prefs: IoPrefs) -> int:
+    """-m: each file -> file.lz4 (lz4io.c:596-624)."""
+    errors = 0
+    for p in paths:
+        try:
+            compress_filename(p, p + LZ4_EXTENSION, prefs)
+        except Exception as e:
+            print(f"lz4: {p}: {e}", file=sys.stderr)
+            errors += 1
+    return errors
+
+
+def decompress_multiple(paths, prefs: IoPrefs) -> int:
+    errors = 0
+    for p in paths:
+        if not p.endswith(LZ4_EXTENSION):
+            print(f"lz4: {p}: unknown suffix, skipping", file=sys.stderr)
+            errors += 1
+            continue
+        try:
+            decompress_filename(p, p[:-len(LZ4_EXTENSION)], prefs)
+        except Exception as e:
+            print(f"lz4: {p}: {e}", file=sys.stderr)
+            errors += 1
+    return errors

@@ -1,0 +1,200 @@
+"""CLI end-to-end tests, mirroring the reference shell-test matrix
+(programs/Makefile:159-250): round-trips at every -B, -BD, sparse files,
+--content-size, frame concatenation, multi-file, pass-through, legacy,
+stdin/stdout pipes, and interop with the reference CLI binary."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from lz4_tpu.utils.datagen import gen_buffer, incompressible
+
+from . import oracle
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(args, input_=None, cwd=None, name="lz4t"):
+    env = dict(os.environ)
+    env["LZ4TPU_FORCE_CPU"] = "1"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    cmd = [sys.executable, "-m", "lz4_tpu.cli"]
+    p = subprocess.run(cmd + list(args), input=input_, capture_output=True,
+                       cwd=cwd, env=env, timeout=300)
+    return p
+
+
+DATA = gen_buffer(150_000, 0.7, 800)
+
+
+def test_roundtrip_file(tmp_path):
+    src = tmp_path / "file.bin"
+    src.write_bytes(DATA)
+    assert run_cli(["-z", str(src)]).returncode == 0
+    lz4f = tmp_path / "file.bin.lz4"
+    assert lz4f.exists()
+    out = tmp_path / "out.bin"
+    assert run_cli(["-d", str(lz4f), str(out)]).returncode == 0
+    assert out.read_bytes() == DATA
+
+
+@pytest.mark.parametrize("bs", ["-B4", "-B5", "-B6", "-B7"])
+def test_block_sizes(tmp_path, bs):
+    src = tmp_path / "f"
+    src.write_bytes(DATA)
+    assert run_cli([bs, "-z", "-f", str(src)]).returncode == 0
+    p = run_cli(["-d", "-c", str(src) + ".lz4"])
+    assert p.returncode == 0 and p.stdout == DATA
+
+
+def test_block_dependency_improves_ratio(tmp_path):
+    src = tmp_path / "f"
+    src.write_bytes(DATA)
+    run_cli(["-B4", "-z", "-f", str(src), str(src) + ".indep"])
+    run_cli(["-B4", "-BD", "-z", "-f", str(src), str(src) + ".linked"])
+    indep = (tmp_path / "f.indep").stat().st_size
+    linked = (tmp_path / "f.linked").stat().st_size
+    assert linked <= indep
+    p = run_cli(["-d", "-c", str(src) + ".linked"])
+    assert p.stdout == DATA
+
+
+def test_stdin_stdout_pipe():
+    p = run_cli(["-z", "-c"], input_=DATA)
+    assert p.returncode == 0, p.stderr
+    q = run_cli(["-d"], input_=p.stdout)
+    assert q.returncode == 0 and q.stdout == DATA
+
+
+def test_levels(tmp_path):
+    src = tmp_path / "f"
+    src.write_bytes(DATA[:30_000])
+    sizes = {}
+    for lv in ("-1", "-9"):
+        p = run_cli([lv, "-z", "-c", str(src)])
+        assert p.returncode == 0
+        sizes[lv] = len(p.stdout)
+        q = run_cli(["-d"], input_=p.stdout)
+        assert q.stdout == DATA[:30_000]
+    assert sizes["-9"] <= sizes["-1"]
+
+
+def test_test_mode(tmp_path):
+    src = tmp_path / "f"
+    src.write_bytes(DATA)
+    run_cli(["-z", str(src)])
+    assert run_cli(["-t", str(src) + ".lz4"]).returncode == 0
+    # corrupt it
+    blob = bytearray((tmp_path / "f.lz4").read_bytes())
+    blob[len(blob) // 2] ^= 0xFF
+    (tmp_path / "bad.lz4").write_bytes(bytes(blob))
+    assert run_cli(["-t", str(tmp_path / "bad.lz4")]).returncode != 0
+
+
+def test_content_size_and_no_frame_crc(tmp_path):
+    src = tmp_path / "f"
+    src.write_bytes(DATA[:5000])
+    p = run_cli(["--content-size", "--no-frame-crc", "-z", "-c", str(src)])
+    from lz4_tpu.frame import get_frame_info
+    info = get_frame_info(p.stdout[:15])
+    assert info.content_size == 5000
+    assert not info.content_checksum
+
+
+def test_multi_file(tmp_path):
+    paths = []
+    for i in range(3):
+        f = tmp_path / f"f{i}"
+        f.write_bytes(gen_buffer(10_000, 0.6, i))
+        paths.append(str(f))
+    assert run_cli(["-m", "-z", *paths]).returncode == 0
+    for i, p in enumerate(paths):
+        assert Path(p + ".lz4").exists()
+        Path(p).unlink()
+    assert run_cli(["-m", "-d", *(p + ".lz4" for p in paths)]).returncode == 0
+    for i, p in enumerate(paths):
+        assert Path(p).read_bytes() == gen_buffer(10_000, 0.6, i)
+
+
+def test_legacy_format(tmp_path):
+    src = tmp_path / "f"
+    src.write_bytes(DATA[:40_000])
+    p = run_cli(["-l", "-z", "-c", str(src)])
+    assert p.stdout[:4] == b"\x02\x21\x4c\x18"
+    q = run_cli(["-d"], input_=p.stdout)
+    assert q.stdout == DATA[:40_000]
+
+
+def test_concatenated_frames(tmp_path):
+    p1 = run_cli(["-z", "-c"], input_=DATA[:1000]).stdout
+    p2 = run_cli(["-z", "-c"], input_=DATA[1000:3000]).stdout
+    q = run_cli(["-d"], input_=p1 + p2)
+    assert q.stdout == DATA[:3000]
+
+
+def test_sparse_decode(tmp_path):
+    sparse_data = (b"head" + b"\x00" * 1_000_000 + b"tail"
+                   + b"\x00" * 500_000)
+    src = tmp_path / "f"
+    src.write_bytes(sparse_data)
+    run_cli(["-z", "-f", str(src)])
+    out = tmp_path / "restored"
+    assert run_cli(["-d", str(src) + ".lz4", str(out)]).returncode == 0
+    assert out.read_bytes() == sparse_data
+    # holes were actually seeked over (fewer blocks than apparent size)
+    st = out.stat()
+    assert st.st_blocks * 512 < len(sparse_data) // 2
+
+
+def test_refuses_overwrite_without_f(tmp_path):
+    src = tmp_path / "f"
+    src.write_bytes(b"x" * 100)
+    (tmp_path / "f.lz4").write_bytes(b"occupied")
+    assert run_cli(["-z", str(src)]).returncode != 0
+    assert run_cli(["-z", "-f", str(src)]).returncode == 0
+
+
+def test_version_and_help():
+    assert b"tpu-lz4" in run_cli(["-V"]).stdout
+    assert b"Usage" in run_cli(["-h"]).stdout
+
+
+@pytest.mark.skipif(not oracle.available(), reason="no reference oracle")
+def test_interop_with_reference_cli(tmp_path):
+    cli = oracle.build_cli()
+    if cli is None:
+        pytest.skip("reference CLI not buildable")
+    src = tmp_path / "f"
+    src.write_bytes(DATA)
+    # ours -> reference
+    run_cli(["-z", "--content-size", "-f", str(src)])
+    p = subprocess.run([str(cli), "-d", "-c", str(src) + ".lz4"],
+                       capture_output=True, timeout=120)
+    assert p.returncode == 0 and p.stdout == DATA
+    # reference -> ours (with HC level and linked blocks)
+    ref_out = tmp_path / "ref.lz4"
+    subprocess.run([str(cli), "-9", "-B5", "-BD", "-f", str(src),
+                    str(ref_out)], capture_output=True, timeout=120)
+    q = run_cli(["-d", "-c", str(ref_out)])
+    assert q.returncode == 0 and q.stdout == DATA
+    # legacy produced by reference
+    subprocess.run([str(cli), "-l", "-f", str(src), str(tmp_path / "l.lz4")],
+                   capture_output=True, timeout=120)
+    r = run_cli(["-d", "-c", str(tmp_path / "l.lz4")])
+    assert r.returncode == 0 and r.stdout == DATA
+    # our legacy decoded by reference
+    s = run_cli(["-l", "-z", "-c"], input_=DATA)
+    t = subprocess.run([str(cli), "-d", "-c"], input=s.stdout,
+                       capture_output=True, timeout=120)
+    assert t.returncode == 0 and t.stdout == DATA
+
+
+def test_bench_mode(tmp_path):
+    src = tmp_path / "f"
+    src.write_bytes(DATA[:100_000])
+    p = run_cli(["-b1", "-i1", str(src)])
+    assert p.returncode == 0, p.stderr
+    assert b"MB/s" in p.stdout
