@@ -1,0 +1,124 @@
+"""Seeded property fuzzer (the reference fuzzer.c model, scaled to CI).
+
+Every failure is reproducible from the cycle seed, like FUZ_rand-based
+cycles (fuzzer.c:152-158).  Each cycle draws a block and a dict from a
+shared compressible noise pool (fuzzer.c:86-89 analog) and runs the
+assertion battery of fuzzer.c:400-713: round-trips, destSize exactness,
+limitedOutput must-fail-one-byte-short, partial decode, short-output
+rejection, dict modes, and cross-decoding with the reference library.
+"""
+
+import random
+
+import pytest
+
+from lz4_tpu.hc import compress_hc_block
+from lz4_tpu.ops.block_np import (
+    Lz4BlockError,
+    compress_block,
+    compress_block_dest_size,
+    compress_block_limited,
+    decompress_block,
+)
+from lz4_tpu.utils.datagen import gen_buffer
+
+from . import oracle
+
+POOL = gen_buffer(1 << 20, 0.65, 0xF00D)  # shared noise pool
+CYCLES = 40
+
+
+def cycle_params(seed):
+    rng = random.Random(seed)
+    size = rng.randint(1, 1 << rng.randint(4, 16))
+    start = rng.randint(0, len(POOL) - size)
+    block = POOL[start:start + size]
+    dsize = rng.randint(0, 1 << rng.randint(0, 14))
+    dstart = rng.randint(0, len(POOL) - dsize) if dsize else 0
+    dict_ = POOL[dstart:dstart + dsize]
+    return rng, block, dict_
+
+
+@pytest.mark.parametrize("seed", range(CYCLES))
+def test_fuzz_cycle(seed):
+    rng, block, dict_ = cycle_params(seed)
+
+    # 1. plain roundtrip
+    comp = compress_block(block)
+    assert decompress_block(comp, len(block)) == block
+
+    # 2. one-byte-short output must fail (fuzzer.c:500-529)
+    if block:
+        with pytest.raises(Lz4BlockError):
+            decompress_block(comp, len(block) - 1)
+
+    # 3. limitedOutput: exact size ok, one byte short fails (563-584)
+    assert compress_block_limited(block, len(comp)) == comp
+    assert compress_block_limited(block, len(comp) - 1) == b""
+
+    # 4. destSize: fits capacity, decodes to consumed prefix (400-432)
+    cap = rng.randint(1, max(2, len(comp)))
+    consumed, dcomp = compress_block_dest_size(block, cap)
+    assert len(dcomp) <= cap
+    if consumed:
+        assert decompress_block(dcomp, consumed) == block[:consumed]
+
+    # 5. partial decode at a random target (534-539)
+    target = rng.randint(0, len(block))
+    assert decompress_block(comp, target, partial=True) == block[:target]
+
+    # 6. dict mode roundtrip (589-713)
+    dcomp2 = compress_block(block, dict_=dict_)
+    assert decompress_block(dcomp2, len(block), dict_=dict_) == block
+
+    # 7. HC at a random level
+    level = rng.choice([3, 6, 9])
+    hcomp = compress_hc_block(block, level, dict_=dict_)
+    assert decompress_block(hcomp, len(block), dict_=dict_) == block
+
+    # 8. cross-decode with the reference library
+    if oracle.available():
+        assert oracle.ref_decompress(comp, len(block)) == block
+        if block:
+            rcomp = oracle.ref_compress(block)
+            assert decompress_block(rcomp, len(block)) == block
+        assert oracle.ref_decompress_usingdict(
+            dcomp2, len(block), dict_) == block
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_corrupted_streams_never_crash(seed):
+    """Malicious/corrupted inputs must raise, never mis-write (the
+    FUZ_AddressOverflow class, fuzzer.c:205-289)."""
+    rng, block, _ = cycle_params(1000 + seed)
+    comp = bytearray(compress_block(block))
+    for _ in range(20):
+        mut = bytearray(comp)
+        for _ in range(rng.randint(1, 8)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        try:
+            out = decompress_block(bytes(mut), len(block))
+            assert len(out) <= len(block)
+        except Lz4BlockError:
+            pass  # rejection is correct
+
+
+def test_fuzz_kernel_agrees_with_host():
+    """Decode kernel and host decoder agree on valid and truncated input."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lz4_tpu.kernels.decode_kernel import decode_blocks
+
+    blocks = [cycle_params(2000 + i)[1][:4096] for i in range(8)]
+    comps = [compress_block(b) for b in blocks]
+    M = ((max(len(c) for c in comps) + 127) // 128) * 128
+    arr = np.zeros((len(comps), M), np.int32)
+    lens = np.zeros((len(comps),), np.int32)
+    for i, c in enumerate(comps):
+        arr[i, :len(c)] = np.frombuffer(c, np.uint8)
+        lens[i] = len(c)
+    out, olen = decode_blocks(jnp.asarray(arr), jnp.asarray(lens), 4096)
+    out, olen = np.asarray(out), np.asarray(olen)
+    for i, b in enumerate(blocks):
+        assert olen[i] == len(b)
+        assert bytes(out[i, :olen[i]].astype(np.uint8)) == b
