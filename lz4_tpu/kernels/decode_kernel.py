@@ -1,22 +1,39 @@
-"""Pallas TPU block decoder.
+"""Pallas TPU block decoder — scalar parse, vector copies.
 
-The LZ4 token stream is inherently sequential *within* a block, so the
-decode loop runs on the TPU scalar core over SMEM-resident byte lanes;
-throughput comes from the grid dimension (one block per grid step) and,
-at the frame layer, from sharding batches of blocks over a device mesh.
+The LZ4 token stream is inherently sequential *within* a block, so token
+parsing runs on the TPU scalar core over an SMEM copy of the compressed
+stream (held as val32 lanes: lane p = LE32 word at byte p, so a token and
+its LE16 match offset parse in single loads).  The byte movement runs on
+the VPU: literal runs and match copies move in up-to-128-byte chunks
+through a 128-lane carry register that is flushed to a VMEM-resident
+output row buffer as rows fill.  Alignment between an arbitrary source
+byte offset and the current output lane is absorbed into the *address* of
+the source window load (load at ``src - cpos``), so a chunk costs one
+dynamic 2-row window load + one dynamic lane roll + selects.
+
+The scalar core is issue-bound at ~1 op/cycle, so the common case takes a
+branch-free fast path chosen by one ``lax.cond`` per sequence: token with
+both nibbles < 15, sequence fits inside the current output row (no carry
+flush), match offset >= match length (no overlap doubling).  Literal runs
+of <= 4 bytes (the majority) are injected by broadcasting the val32 word
+and shifting per-lane — no window load, no roll.  Everything else (length
+extensions, row crossings, overlapping matches, 128-byte-plus runs) falls
+to the general path, where overlapping matches use offset doubling: any
+multiple of the original offset is an equally valid source distance once
+that many bytes have been copied, so even offset-1 RLE runs settle into
+full-width chunks after ~7 iterations.
 
 Semantics parity: ``LZ4_decompress_safe`` (reference lz4.c:1098-1320 via
-the 1360 wrapper) -- bounds-checked literal/match copies, overlap-safe
+the 1360 wrapper) — bounds-checked literal/match copies, overlap-safe
 match copy, dictionary window support (``_usingDict``, lz4.c:1512), error
 reporting as negative lengths.
 
-Memory plan per grid step (shapes static; all byte data int32, one byte
-per lane):
-  comp row  [1, M]  HBM --DMA--> SMEM scratch
-  dict row  [1, P]  HBM --DMA--> first P lanes of the output scratch
-                    (host right-aligns the dictionary in its row)
-  out row   [1, P+N] SMEM scratch; decoded bytes start at lane P
-            --DMA--> HBM [1, N]
+Memory plan per grid step (shapes static):
+  vals row  [1, M]   HBM --DMA--> SMEM: val32 lanes for the parser
+  comp rows [MR,128] HBM --DMA--> VMEM rows 1..MR+1 (lead/pad rows zero),
+                     masked to bytes in place (vals & 0xFF)
+  dict rows [PR,128] HBM --DMA--> VMEM out rows 1..PR+1 (right-aligned)
+  out rows           VMEM scratch rows [1+PR, 1+PR+NR) --DMA--> HBM
   olen      whole [B] vector lives in SMEM, one lane written per step
 """
 
@@ -35,141 +52,251 @@ from .common import on_cpu
 ERR_MALFORMED = -1
 
 
-def _decode_body(comp, out, n, op_start, low_limit, M, plim):
-    """Shared sequence loop: decode comp[:n] into out starting at op_start.
-
-    ``low_limit`` is the lowest lane match offsets may reach (dictionary
-    start).  Returns (op_end, ok).
-    """
-
-    def load(ip):
-        return comp[0, jnp.minimum(ip, M - 1)]
-
-    def read_ext(nibble, ip):
-        """Length-extension bytes.  Runs zero iterations when nibble < 15
-        (initial ``stop`` already true), avoiding a branch region."""
-        def cond(c):
-            _, _, ok, stop = c
-            return jnp.logical_and(ok, jnp.logical_not(stop))
-
-        def body(c):
-            extra, ip2, ok, _ = c
-            ok2 = ip2 < n
-            b = jnp.where(ok2, load(ip2), 0)
-            return (extra + b, ip2 + jnp.int32(1),
-                    jnp.logical_and(ok, ok2), b != 255)
-
-        extra, ip2, ok, _ = lax.while_loop(
-            cond, body, (jnp.int32(0), ip, jnp.bool_(True), nibble != 15))
-        return extra, ip2, ok
-
-    def seq_body(state):
-        ip, op, status = state
-        token = load(ip)
-        ip = ip + 1
-        litlen = token >> 4
-
-        ext, ip, ok = read_ext(litlen, ip)
-        litlen = litlen + ext
-
-        ok = jnp.logical_and(ok, ip + litlen <= n)
-        ok = jnp.logical_and(ok, op + litlen <= plim)
-
-        # wildcopy: 4-wide, over-copies <=3 bytes that the next sequence (or
-        # the slack lanes past PN) overwrite -- the reference decoder's
-        # LZ4_wildCopy idiom (lz4.c:257-270)
-        src_base = ip - op
-        lit_end = jnp.where(ok, op + litlen, op)
-
-        def lit4(k):
-            out[0, k] = comp[0, src_base + k]
-            out[0, k + 1] = comp[0, src_base + k + 1]
-            out[0, k + 2] = comp[0, src_base + k + 2]
-            out[0, k + 3] = comp[0, src_base + k + 3]
-            return k + 4
-        lax.while_loop(lambda k: k < lit_end, lit4, op)
-        ip = ip + litlen
-        op = op + litlen
-
-        ended = jnp.logical_and(ok, ip == n)  # last sequence: literals only
-
-        ok_m = jnp.logical_and(ok, ip + 2 <= n)
-        offset = jnp.where(ok_m, load(ip) + (load(ip + 1) << 8), 1)
-        ip_m = ip + 2
-        mlen = token & 15
-        ext2, ip_m, ok_e2 = read_ext(mlen, ip_m)
-        mlen = mlen + ext2 + 4
-        ok_m = jnp.logical_and(ok_m, ok_e2)
-        ok_m = jnp.logical_and(ok_m, offset > 0)
-        ok_m = jnp.logical_and(ok_m, offset <= op - low_limit)
-        ok_m = jnp.logical_and(ok_m, op + mlen <= plim)
-
-        do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
-
-        m_end = jnp.where(do_match, op + mlen, op)
-
-        # stride-4 wildcopy is overlap-safe only when offset >= 4; short
-        # offsets (RLE-style) take the byte loop (cf. lz4.c:1272-1282)
-        wide = jnp.logical_and(do_match, offset >= 4)
-        m_end4 = jnp.where(wide, m_end, op)
-
-        def m4(k):
-            out[0, k] = out[0, k - offset]
-            out[0, k + 1] = out[0, k + 1 - offset]
-            out[0, k + 2] = out[0, k + 2 - offset]
-            out[0, k + 3] = out[0, k + 3 - offset]
-            return k + 4
-        lax.while_loop(lambda k: k < m_end4, m4, op)
-
-        def m1(k):
-            out[0, k] = out[0, k - offset]
-            return k + 1
-        lax.while_loop(lambda k: k < m_end, m1, jnp.where(wide, m_end, op))
-
-        op = jnp.where(do_match, op + mlen, op)
-        ip = jnp.where(do_match, ip_m, ip)
-
-        new_status = jnp.where(ended, 1, jnp.where(do_match, 0, 2))
-        return (ip.astype(jnp.int32), op.astype(jnp.int32),
-                new_status.astype(jnp.int32))
-
-    def seq_cond(state):
-        ip, op, status = state
-        return jnp.logical_and(status == 0, ip < n)
-
-    ip, op, status = lax.while_loop(
-        seq_cond, seq_body,
-        (jnp.int32(0), jnp.int32(op_start), jnp.int32(0)))
-    ok_final = jnp.logical_and(status == 1, n > 0)
-    return op, ok_final
-
-
 def _make_decode_kernel(M: int, N: int, P: int):
-    PN = P + N
+    MR = M // 128
+    PR = P // 128
+    NR = N // 128
+    OUT0 = 1 + PR          # first output row in the out scratch
+    OBASE = 128 * PR       # address offset of output byte 0 in out space
 
-    def kernel(clen_ref, plen_ref, ocap_ref, comp_hbm, dict_hbm, out_hbm,
-               olen_ref, csmem, osmem, sem_in, sem_dict, sem_out):
+    def kernel(clen_ref, plen_ref, ocap_ref, vals2d_hbm, vals3d_hbm,
+               dict_hbm, out_hbm, olen_ref, vsmem, cvmem, ovmem,
+               sem_s, sem_v, sem_d, sem_o):
         b = pl.program_id(0)
         n = clen_ref[b]
         plen = plen_ref[b]
-        plim = jnp.int32(P) + jnp.minimum(ocap_ref[b], N)
+        olim = jnp.minimum(ocap_ref[b], N)
+        lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        ZERO = jnp.zeros((1, 128), jnp.int32)
 
-        cp_in = pltpu.make_async_copy(comp_hbm.at[b], csmem.at[:, 0:M],
-                                      sem_in)
-        cp_in.start()
+        cp_s = pltpu.make_async_copy(vals2d_hbm.at[b], vsmem, sem_s)
+        cp_s.start()
+        cp_v = pltpu.make_async_copy(vals3d_hbm.at[b],
+                                     cvmem.at[pl.ds(1, MR), :], sem_v)
+        cp_v.start()
+        cvmem[0:1, :] = ZERO
+        cvmem[MR + 1:MR + 2, :] = ZERO
         if P:
-            cp_d = pltpu.make_async_copy(dict_hbm.at[b], osmem.at[:, 0:P],
-                                         sem_dict)
+            cp_d = pltpu.make_async_copy(dict_hbm.at[b],
+                                         ovmem.at[pl.ds(1, PR), :], sem_d)
             cp_d.start()
             cp_d.wait()
-        cp_in.wait()
+        cp_v.wait()
+        cvmem[pl.ds(1, MR), :] = cvmem[pl.ds(1, MR), :] & 0xFF
+        cp_s.wait()
 
-        op, ok = _decode_body(csmem, osmem, n, jnp.int32(P),
-                              jnp.int32(P) - plen, M, plim)
-        olen_ref[b] = jnp.where(ok, op - P, ERR_MALFORMED)
+        def sval(ip):
+            return vsmem[0, jnp.minimum(ip, M - 1)]
 
-        cp_out = pltpu.make_async_copy(osmem.at[:, P:P + N], out_hbm.at[b],
-                                       sem_out)
+        def sbyte(ip):
+            return sval(ip) & 0xFF
+
+        def read_ext(nibble, ip):
+            """Length-extension bytes; zero iterations when nibble < 15."""
+            def cond(c):
+                _, _, ok, stop = c
+                return jnp.logical_and(ok, jnp.logical_not(stop))
+
+            def body(c):
+                extra, ip2, ok, _ = c
+                ok2 = ip2 < n
+                bb = jnp.where(ok2, sbyte(ip2), 0)
+                return (extra + bb, ip2 + jnp.int32(1),
+                        jnp.logical_and(ok, ok2), bb != 255)
+
+            extra, ip2, ok, _ = lax.while_loop(
+                cond, body, (jnp.int32(0), ip, jnp.bool_(True),
+                             nibble != 15))
+            return extra, ip2, ok
+
+        def window(ref, a):
+            """[1,128] vector v with v[lane] = ref byte at address a + lane
+            (address -128 maps to the zero/lead row)."""
+            f = a >> 7
+            sl = a & 127
+            w = ref[pl.ds(f + 1, 2), :]
+            rot = pltpu.roll(w, -sl, axis=1)
+            return jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
+
+        def merge(carry, v, cpos, take):
+            m = jnp.logical_and(lane >= cpos, lane < cpos + take)
+            return jnp.where(m, v, carry)
+
+        # ------------------------------------------------------------------
+        # general path: length extensions, row crossings, overlap doubling
+        # ------------------------------------------------------------------
+
+        def copy_literals(carry, opos, src, litlen):
+            def body(st):
+                carry, opos, src, rem = st
+                cpos = opos & 127
+                take = jnp.minimum(128 - cpos, rem)
+                v = window(cvmem, src - cpos)
+                carry = merge(carry, v, cpos, take)
+                opos2 = opos + take
+
+                @pl.when((opos2 & 127) == 0)
+                def _():
+                    ovmem[pl.ds((opos2 >> 7) - 1 + OUT0, 1), :] = carry
+                return carry, opos2, src + take, rem - take
+
+            carry, opos, _, _ = lax.while_loop(
+                lambda st: st[3] > 0, body, (carry, opos, src, litlen))
+            return carry, opos
+
+        def copy_match(carry, opos, offset, mlen):
+            def body(st):
+                carry, opos, rem, o_eff = st
+                cpos = opos & 127
+                # flush the partial row so window reads see bytes < opos
+                ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
+                take = jnp.minimum(jnp.minimum(128 - cpos, rem), o_eff)
+                v = window(ovmem, opos - o_eff + OBASE - cpos)
+                carry = merge(carry, v, cpos, take)
+                opos2 = opos + take
+
+                @pl.when((opos2 & 127) == 0)
+                def _():
+                    ovmem[pl.ds((opos2 >> 7) - 1 + OUT0, 1), :] = carry
+                rem2 = rem - take
+                copied2 = mlen - rem2
+                o_eff = jnp.where(2 * o_eff - offset <= copied2,
+                                  2 * o_eff, o_eff)
+                return carry, opos2, rem2, o_eff
+
+            carry, opos, _, _ = lax.while_loop(
+                lambda st: st[2] > 0, body, (carry, opos, mlen, offset))
+            return carry, opos
+
+        def slow_seq(ip, opos, carry, token, ll_nib, ml_nib, cpos):
+            ip = ip + 1
+            ext, ip, ok = read_ext(ll_nib, ip)
+            litlen = ll_nib + ext
+
+            ok = jnp.logical_and(ok, ip + litlen <= n)
+            ok = jnp.logical_and(ok, opos + litlen <= olim)
+
+            carry, opos = lax.cond(
+                jnp.logical_and(ok, litlen > 0),
+                lambda c, o: copy_literals(c, o, ip, litlen),
+                lambda c, o: (c, o), carry, opos)
+            ip = ip + litlen
+
+            ended = jnp.logical_and(ok, ip == n)
+
+            ok_m = jnp.logical_and(ok, ip + 2 <= n)
+            offset = jnp.where(ok_m, sval(ip) & 0xFFFF, 1)
+            ip_m = ip + 2
+            ext2, ip_m, ok_e2 = read_ext(ml_nib, ip_m)
+            mlen = ml_nib + ext2 + 4
+            ok_m = jnp.logical_and(ok_m, ok_e2)
+            ok_m = jnp.logical_and(ok_m, offset > 0)
+            ok_m = jnp.logical_and(ok_m, offset <= opos + plen)
+            ok_m = jnp.logical_and(ok_m, opos + mlen <= olim)
+
+            do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
+
+            carry, opos = lax.cond(
+                do_match,
+                lambda c, o: copy_match(c, o, offset, mlen),
+                lambda c, o: (c, o), carry, opos)
+            ip = jnp.where(do_match, ip_m, ip)
+
+            status = jnp.where(ended, 1, jnp.where(do_match, 0, 2))
+            return (ip.astype(jnp.int32), opos.astype(jnp.int32),
+                    status.astype(jnp.int32), carry)
+
+        # ------------------------------------------------------------------
+        # fast path: no extensions, fits in the current output row, match
+        # offset >= match length.  Straight-line; merges run before the
+        # validity checks (all addresses clamped, results discarded on -1).
+        # ------------------------------------------------------------------
+
+        def fast_seq(ip, opos, carry, token, ll, ml_nib, cpos):
+            ip1 = ip + 1
+            ipm = ip1 + ll          # match header position
+            opos1 = opos + ll
+            cpos1 = cpos + ll
+            mlen = ml_nib + 4
+
+            w = sval(ipm)
+            offset = w & 0xFFFF
+            opos2 = opos1 + mlen
+
+            # literal injection
+            def lit_bcast(carry):
+                sh = jnp.clip(lane - cpos, 0, 3) * 8
+                v = (sval(ip1) >> sh) & 0xFF
+                return merge(carry, v, cpos, ll)
+
+            def lit_window(carry):
+                v = window(cvmem, ip1 - cpos)
+                return merge(carry, v, cpos, ll)
+
+            carry = lax.cond(
+                ll > 0,
+                lambda c: lax.cond(ll <= 4, lit_bcast, lit_window, c),
+                lambda c: c, carry)
+
+            ended = ipm == n
+            ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
+
+            # flush so the match window sees bytes < opos1 (incl. the
+            # literals just merged); row never crosses on this path
+            ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
+
+            a = jnp.clip(opos1 - offset + OBASE - cpos1,
+                         -128, 128 * (PR + NR - 1))
+            v = window(ovmem, a)
+            mcarry = merge(carry, v, cpos1, mlen)
+
+            ok_m = jnp.logical_and(
+                jnp.logical_and(ok_l, ipm + 2 <= n),
+                jnp.logical_and(offset > 0, offset <= opos1 + plen))
+            ok_m = jnp.logical_and(ok_m, opos2 <= olim)
+
+            do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
+            carry = jnp.where(do_match, mcarry, carry)
+            ip = jnp.where(do_match, ipm + 2, ipm)
+            opos = jnp.where(do_match, opos2,
+                             jnp.where(ok_l, opos1, opos))
+            status = jnp.where(jnp.logical_and(ended, ok_l), 1,
+                               jnp.where(do_match, 0, 2))
+            return (ip.astype(jnp.int32), opos.astype(jnp.int32),
+                    status.astype(jnp.int32), carry)
+
+        def seq_body(state):
+            ip, opos, status, carry = state
+            v = sval(ip)
+            token = v & 0xFF
+            ll = token >> 4
+            ml_nib = token & 15
+            cpos = opos & 127
+            # fast iff: no length extensions, no row crossing (strict, so
+            # the carry never flushes on fill), match won't need doubling
+            fast = jnp.logical_and(
+                jnp.logical_and(ll < 15, ml_nib < 15),
+                cpos + ll + ml_nib <= 123)
+            mpos = ip + 1 + ll
+            fast = jnp.logical_and(
+                fast, (sval(mpos) & 0xFFFF) >= ml_nib + 4)
+            return lax.cond(fast, fast_seq, slow_seq,
+                            ip, opos, carry, token, ll, ml_nib, cpos)
+
+        def seq_cond(state):
+            ip, opos, status, _ = state
+            return jnp.logical_and(status == 0, ip < n)
+
+        ip, opos, status, carry = lax.while_loop(
+            seq_cond, seq_body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+             jnp.zeros((1, 128), jnp.int32)))
+        # final flush of the partial row (pad row absorbs opos == N)
+        ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
+        olen_ref[b] = jnp.where(status == 1, opos, ERR_MALFORMED)
+
+        cp_out = pltpu.make_async_copy(ovmem.at[pl.ds(OUT0, NR), :],
+                                       out_hbm.at[b], sem_o)
         cp_out.start()
         cp_out.wait()
 
@@ -179,10 +306,18 @@ def _make_decode_kernel(M: int, N: int, P: int):
 @functools.partial(jax.jit, static_argnames=("M", "N", "P", "interpret"))
 def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret):
     B = comp.shape[0]
+    MR, PR, NR = M // 128, P // 128, N // 128
+    # val32 lanes: lane p = LE32 word at byte p (vector shifts of rolls)
+    c = comp.astype(jnp.int32)
+    vals = (c
+            | (jnp.roll(c, -1, axis=1) << 8)
+            | (jnp.roll(c, -2, axis=1) << 16)
+            | (jnp.roll(c, -3, axis=1) << 24))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -191,9 +326,10 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            # +8 slack lanes: the 4-wide wildcopy over-reads/writes <=3
-            pltpu.SMEM((1, M + 8), jnp.int32),
-            pltpu.SMEM((1, P + N + 8), jnp.int32),
+            pltpu.SMEM((1, M), jnp.int32),
+            pltpu.VMEM((MR + 2, 128), jnp.int32),
+            pltpu.VMEM((2 + PR + NR, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -203,12 +339,13 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret):
         _make_decode_kernel(M, N, P),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, 1, N), jnp.int32),
+            jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(clen, plen, ocap, comp.reshape(B, 1, M), dict_rows)
+    )(clen, plen, ocap, vals.reshape(B, 1, M), vals.reshape(B, MR, 128),
+      dict_rows)
     return out.reshape(B, N), olen
 
 
@@ -241,7 +378,7 @@ def decode_blocks(comp_bytes_i32: jax.Array, comp_lens: jax.Array,
     N = -(-out_cap // 128) * 128
     if dict_rows is None:
         P = 0
-        dict_rows = jnp.zeros((B, 1, 1), jnp.int32)
+        dict_rows = jnp.zeros((B, 1, 128), jnp.int32)
         dict_lens = jnp.zeros((B,), jnp.int32)
     else:
         P = dict_rows.shape[-1]
@@ -249,7 +386,7 @@ def decode_blocks(comp_bytes_i32: jax.Array, comp_lens: jax.Array,
             pad = 128 - P % 128
             dict_rows = jnp.pad(dict_rows, ((0, 0), (pad, 0)))
             P += pad
-        dict_rows = dict_rows.reshape(B, 1, P)
+        dict_rows = dict_rows.reshape(B, P // 128, 128)
     if out_caps is None:
         ocap = jnp.full((B,), out_cap, jnp.int32)
     else:
