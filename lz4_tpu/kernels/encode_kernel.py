@@ -2,19 +2,30 @@
 
 Greedy single-probe hash compression on the TPU scalar core, batched over
 blocks via the grid.  Parity: ``LZ4_compress_fast`` semantics (reference
-lz4.c:510-800) -- 5-byte match index (as the reference's 64-bit build,
+lz4.c:510-800) — 5-byte match index (as the reference's 64-bit build,
 lz4.c:462-468), skip acceleration (lz4.c:586-594), backward extension
 (lz4.c:635), spec parsing restrictions (last 5 literals, 12-byte match
 tail).  Output is a valid LZ4 block stream; byte-identity with the C
 encoder is NOT a goal (the spec allows any parse), ratio parity is.
 
-Input bytes arrive as ``val32`` lanes: val32[p] = LE32 word at byte p
-(computed with vector ops on device).  byte[p] == val32[p] & 0xFF, and
-4-byte match verification / stride-4 extension are single compares.
+The scalar core is issue-bound, so the loop is organised around op count:
 
-The hash table lives in SMEM and is shared across grid steps: entries are
-tagged with the block index (entry = b * 2^18 + pos + 1), so stale entries
-from earlier blocks never validate and the table needs zeroing only once.
+* Input bytes arrive as ``val32`` lanes: val32[p] = LE32 word at byte p
+  (computed with vector ops on device).  Hash, 4-byte match verification
+  and stride-4 extension are all single loads.
+* The match tail (<4 equal bytes) is computed branchlessly from the XOR
+  of the mismatching words instead of a byte loop.
+* Sequence emission takes a straight-line fast path when both lengths fit
+  their token nibbles (the common case); length extensions branch out.
+* The hash table lives in SMEM and is shared across grid steps: entries
+  are tagged with the block index (entry = b * 2^18 + pos), so stale
+  entries from earlier blocks never validate and the table is zeroed only
+  once.
+
+Cited reference behaviour: hash insert of every scanned position
+(lz4.c:598-612), catch-up backward extension (lz4.c:635), extra insert
+near the match end (lz4.c:733-736), acceleration step growth
+``searchMatchNb >> LZ4_skipTrigger`` (lz4.c:586-594).
 """
 
 from __future__ import annotations
@@ -32,7 +43,7 @@ from ..spec import compress_bound
 
 HASH_LOG = 13
 HASH_SIZE = 1 << HASH_LOG
-POS_BITS = 18          # positions < 2^18 (blocks <= 192KB in this kernel)
+POS_BITS = 18          # positions < 2^18 (blocks <= 256KB in this kernel)
 POS_MASK = (1 << POS_BITS) - 1
 SKIP_TRIGGER = 6
 
@@ -92,8 +103,21 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
         def byte(p):
             return vsmem[0, p] & 0xFF
 
-        def emit_len_ext(op, extra):
-            """Write length-extension bytes (value 15 already in token)."""
+        def copy_lit4(dst, src, end):
+            """4-wide literal wildcopy (slack lanes absorb the over-copy)."""
+            base = src - dst
+
+            def lit4(k):
+                w = val(base + k)
+                osmem[0, k] = w & 0xFF
+                osmem[0, k + 1] = (w >> 8) & 0xFF
+                osmem[0, k + 2] = (w >> 16) & 0xFF
+                osmem[0, k + 3] = (w >> 24) & 0xFF
+                return k + 4
+            lax.while_loop(lambda k: k < end, lit4, dst)
+
+        def emit_ext(op, extra):
+            """255-run length-extension bytes (value 15 already in token)."""
             def cond(c):
                 e, _ = c
                 return e >= 255
@@ -107,35 +131,42 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
             osmem[0, op] = extra
             return op + 1
 
-        def emit_seq(op, anchor, litlen, offset, mlen):
-            """Token, literal run, offset, match-length extension."""
-            ml_code = mlen - 4
-            tok_lit = jnp.minimum(litlen, 15)
-            tok_ml = jnp.minimum(ml_code, 15)
-            osmem[0, op] = (tok_lit << 4) | tok_ml
-            op = op + 1
-            op = lax.cond(litlen >= 15,
-                          lambda o: emit_len_ext(o, litlen - 15),
-                          lambda o: o, op)
-            # literal wildcopy (4-wide; slack lanes absorb the over-copy)
-            src_base = anchor - op
-            lit_end = op + litlen
+        def emit_seq(op, anchor, litlen, offset, ml_code):
+            """Token + literals + LE16 offset + match-length extension.
 
-            def lit4(k):
-                osmem[0, k] = byte(src_base + k)
-                osmem[0, k + 1] = byte(src_base + k + 1)
-                osmem[0, k + 2] = byte(src_base + k + 2)
-                osmem[0, k + 3] = byte(src_base + k + 3)
-                return k + 4
-            lax.while_loop(lambda k: k < lit_end, lit4, op)
-            op = lit_end
-            osmem[0, op] = offset & 0xFF
-            osmem[0, op + 1] = offset >> 8
-            op = op + 2
-            op = lax.cond(ml_code >= 15,
-                          lambda o: emit_len_ext(o, ml_code - 15),
-                          lambda o: o, op)
-            return op
+            Single straight-line fast path when both lengths fit their
+            nibbles (the common case); one branch to the general emitter.
+            """
+            def fast(op):
+                osmem[0, op] = (litlen << 4) | ml_code
+                op = op + 1
+                lit_end = op + litlen
+                copy_lit4(op, anchor, lit_end)
+                osmem[0, lit_end] = offset & 0xFF
+                osmem[0, lit_end + 1] = offset >> 8
+                return lit_end + 2
+
+            def general(op):
+                tok_lit = jnp.minimum(litlen, 15)
+                tok_ml = jnp.minimum(ml_code, 15)
+                osmem[0, op] = (tok_lit << 4) | tok_ml
+                op = op + 1
+                op = lax.cond(litlen >= 15,
+                              lambda o: emit_ext(o, litlen - 15),
+                              lambda o: o, op)
+                lit_end = op + litlen
+                copy_lit4(op, anchor, lit_end)
+                op = lit_end
+                osmem[0, op] = offset & 0xFF
+                osmem[0, op + 1] = offset >> 8
+                op = op + 2
+                op = lax.cond(ml_code >= 15,
+                              lambda o: emit_ext(o, ml_code - 15),
+                              lambda o: o, op)
+                return op
+
+            return lax.cond(jnp.logical_and(litlen < 15, ml_code < 15),
+                            fast, general, op)
 
         def emit_final(op, anchor):
             litlen = n - anchor
@@ -143,22 +174,51 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
             osmem[0, op] = tok_lit << 4
             op = op + 1
             op = lax.cond(litlen >= 15,
-                          lambda o: emit_len_ext(o, litlen - 15),
+                          lambda o: emit_ext(o, litlen - 15),
                           lambda o: o, op)
-            src_base = anchor - op
             lit_end = op + litlen
-
-            def lit4(k):
-                osmem[0, k] = byte(src_base + k)
-                osmem[0, k + 1] = byte(src_base + k + 1)
-                osmem[0, k + 2] = byte(src_base + k + 2)
-                osmem[0, k + 3] = byte(src_base + k + 3)
-                return k + 4
-            lax.while_loop(lambda k: k < lit_end, lit4, op)
+            copy_lit4(op, anchor, lit_end)
             return lit_end
 
         mflimit = n - 12      # last position a match may start (inclusive)
         matchlimit = n - 5    # matches may extend up to here (exclusive)
+
+        def with_match(ip, op, anchor, q):
+            # backward extension (catch-up, lz4.c:635)
+            def bcond(c):
+                mp, qq = c
+                return jnp.logical_and(
+                    jnp.logical_and(mp > anchor, qq > 0),
+                    byte(mp - 1) == byte(qq - 1))
+
+            def bbody(c):
+                mp, qq = c
+                return mp - 1, qq - 1
+
+            mp, q2 = lax.while_loop(bcond, bbody, (ip, q))
+
+            # forward extension: stride-4 val32 equality...
+            def f4cond(ml):
+                return jnp.logical_and(mp + ml + 4 <= matchlimit,
+                                       val(q2 + ml) == val(mp + ml))
+
+            ml = lax.while_loop(f4cond, lambda ml: ml + 4, ip + 4 - mp)
+            # ...then a branchless <4-byte tail from the XOR of the first
+            # mismatching words (diff==0 means limit-stopped: tail=3 and
+            # the min() clamp does the bounding), lz4.c LZ4_count's role
+            diff = val(q2 + ml) ^ val(mp + ml)
+            tail = (jnp.where((diff & 0xFF) == 0, 1, 0)
+                    + jnp.where((diff & 0xFFFF) == 0, 1, 0)
+                    + jnp.where((diff & 0xFFFFFF) == 0, 1, 0))
+            ml = jnp.minimum(ml + tail, matchlimit - mp)
+
+            op2 = emit_seq(op, anchor, mp - anchor, ip - q, ml - 4)
+            new_ip = mp + ml
+            # densify the index near the match end (lz4.c:733-736)
+            p2 = new_ip - 2
+            table[_hash5(val(p2), val(p2 + 4) & 0xFF)] = tag | p2
+            return (new_ip, op2, new_ip,
+                    jnp.int32(acceleration << SKIP_TRIGGER))
 
         def main_body(state):
             ip, op, anchor, scnt = state
@@ -171,50 +231,7 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
             qc = jnp.minimum(q, NS - 1)
             good = jnp.logical_and(
                 (e >> POS_BITS) == b,
-                jnp.logical_and(e >= 0, jnp.logical_and(
-                    ip - q <= 65535,
-                    jnp.logical_and(val(qc) == val(ip),
-                                    (val(qc + 4) & 0xFF) == (val(ip + 4) & 0xFF)))))
-
-            def with_match(ip, op, anchor, q):
-                # backward extension
-                def bcond(c):
-                    mp, qq = c
-                    return jnp.logical_and(
-                        jnp.logical_and(mp > anchor, qq > 0),
-                        byte(mp - 1) == byte(qq - 1))
-
-                def bbody(c):
-                    mp, qq = c
-                    return mp - 1, qq - 1
-
-                mp, q2 = lax.while_loop(bcond, bbody, (ip, q))
-                # forward extension: stride-4 via val32 equality, then tail
-                ml0 = ip + 5 - mp
-
-                def f4cond(ml):
-                    return jnp.logical_and(
-                        mp + ml + 4 <= matchlimit,
-                        val(q2 + ml) == val(mp + ml))
-
-                ml = lax.while_loop(f4cond, lambda ml: ml + 4, ml0)
-
-                def f1cond(ml):
-                    return jnp.logical_and(
-                        mp + ml < matchlimit,
-                        byte(q2 + ml) == byte(mp + ml))
-
-                ml = lax.while_loop(f1cond, lambda ml: ml + 1, ml)
-
-                op2 = emit_seq(op, anchor, mp - anchor, mp - q2, ml)
-                new_ip = mp + ml
-                # densify index near the match end (lz4.c idiom)
-                @pl.when(new_ip - 2 > 0)
-                def _():
-                    p2 = new_ip - 2
-                    table[_hash5(val(p2), val(p2 + 4) & 0xFF)] = tag | p2
-                return (new_ip, op2, new_ip,
-                        jnp.int32(acceleration << SKIP_TRIGGER))
+                jnp.logical_and(ip - q <= 65535, val(qc) == val(ip)))
 
             def no_match(ip, op, anchor, scnt):
                 step = scnt >> SKIP_TRIGGER
