@@ -225,7 +225,7 @@ def _decode_one_frame(data: bytes, prefs: IoPrefs, use_device: bool):
         from .frame import decode_frame_header
         from .tpu import decompress_frame_device
         info = decode_frame_header(data)
-        if info.block_independent and info.block_size <= 65536:
+        if info.block_size <= 65536:
             return decompress_frame_device(data)
     d = FrameDecompressor()
     used, out = d.feed(data)

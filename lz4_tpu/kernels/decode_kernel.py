@@ -52,7 +52,7 @@ from .common import on_cpu
 ERR_MALFORMED = -1
 
 
-def _make_decode_kernel(M: int, N: int, P: int):
+def _make_decode_kernel(M: int, N: int, P: int, linked: bool = False):
     MR = M // 128
     PR = P // 128
     NR = N // 128
@@ -64,7 +64,16 @@ def _make_decode_kernel(M: int, N: int, P: int):
                sem_s, sem_v, sem_d, sem_o):
         b = pl.program_id(0)
         n = clen_ref[b]
-        plen = plen_ref[b]
+        if linked:
+            # chain mode: the window is the previous block's full output
+            # (LZ4F linked frames emit full blocks except the last, so a
+            # partial predecessor simply yields an empty window and the
+            # block fails cleanly if it references it)
+            prev_full = jnp.logical_and(
+                b > 0, olen_ref[jnp.maximum(b - 1, 0)] == N)
+            plen = jnp.where(prev_full, P, 0)
+        else:
+            plen = plen_ref[b]
         olim = jnp.minimum(ocap_ref[b], N)
         lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         ZERO = jnp.zeros((1, 128), jnp.int32)
@@ -76,7 +85,15 @@ def _make_decode_kernel(M: int, N: int, P: int):
         cp_v.start()
         cvmem[0:1, :] = ZERO
         cvmem[MR + 1:MR + 2, :] = ZERO
-        if P:
+        if linked:
+            @pl.when(b > 0)
+            def _():
+                cp_d = pltpu.make_async_copy(out_hbm.at[b - 1],
+                                             ovmem.at[pl.ds(1, PR), :],
+                                             sem_d)
+                cp_d.start()
+                cp_d.wait()
+        elif P:
             cp_d = pltpu.make_async_copy(dict_hbm.at[b],
                                          ovmem.at[pl.ds(1, PR), :], sem_d)
             cp_d.start()
@@ -303,8 +320,10 @@ def _make_decode_kernel(M: int, N: int, P: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("M", "N", "P", "interpret"))
-def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret):
+@functools.partial(jax.jit, static_argnames=("M", "N", "P", "interpret",
+                                              "linked"))
+def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
+                   linked=False):
     B = comp.shape[0]
     MR, PR, NR = M // 128, P // 128, N // 128
     # val32 lanes: lane p = LE32 word at byte p (vector shifts of rolls)
@@ -336,7 +355,7 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret):
         ],
     )
     out, olen = pl.pallas_call(
-        _make_decode_kernel(M, N, P),
+        _make_decode_kernel(M, N, P, linked),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
@@ -395,3 +414,40 @@ def decode_blocks(comp_bytes_i32: jax.Array, comp_lens: jax.Array,
                                dict_rows, dict_lens.astype(jnp.int32), ocap,
                                M=M, N=N, P=P, interpret=on_cpu())
     return out[:, :out_cap], olen
+
+
+def decode_blocks_linked(comp_bytes_i32: jax.Array, comp_lens: jax.Array,
+                         block_size: int):
+    """Decode a chain of linked LZ4 blocks (one stream, in order).
+
+    Block ``b``'s 64 KB window is block ``b-1``'s output, matching the
+    LZ4F blockLinked contract (reference lz4frame.c:644-657 carrying the
+    dictionary via LZ4_compress_fast_continue / _usingDict): every block
+    except the last must decode to exactly ``block_size`` bytes, which is
+    how LZ4F compressors emit linked frames (lz4frame.c:575-682 buffers
+    input to whole blocks).
+
+    Args:
+      comp_bytes_i32: [B, M] int32 bytes, block payloads in stream order.
+      comp_lens: [B] int32 payload lengths.
+      block_size: the frame's block size (multiple of 128, <= 64 KB; the
+        window is the full previous block).
+
+    Returns (out [B, block_size] int32 bytes, olen [B]; -1 = malformed).
+    """
+    B, M = comp_bytes_i32.shape
+    if block_size % 128:
+        raise ValueError("block_size must be a multiple of 128")
+    if M % 128:
+        pad = 128 - M % 128
+        comp_bytes_i32 = jnp.pad(comp_bytes_i32, ((0, 0), (0, pad)))
+        M += pad
+    N = P = block_size
+    dict_rows = jnp.zeros((B, 1, 128), jnp.int32)  # unused in linked mode
+    plen = jnp.zeros((B,), jnp.int32)
+    ocap = jnp.full((B,), block_size, jnp.int32)
+    out, olen = _decode_blocks(comp_bytes_i32, comp_lens.astype(jnp.int32),
+                               dict_rows, plen, ocap,
+                               M=M, N=N, P=P, interpret=on_cpu(),
+                               linked=True)
+    return out, olen

@@ -316,3 +316,253 @@ def encode_blocks(val32_rows: jax.Array, src_lens: jax.Array,
     return _encode_blocks(val32_rows, src_lens.astype(jnp.int32),
                           NS=NS, M=M, acceleration=int(acceleration),
                           interpret=on_cpu())
+
+
+# ---------------------------------------------------------------------------
+# linked / streaming mode: LZ4_compress_fast_continue parity on device
+# ---------------------------------------------------------------------------
+
+WINDOW = 65536
+
+
+def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
+    """Chained-block encoder: grid (streams, blocks); the hash table holds
+    *global* stream positions and persists across a stream's blocks, so
+    matches reach into the previous block exactly like
+    ``LZ4_compress_fast_continue`` prefix mode (lz4.c:990-1045).  Each grid
+    step's SMEM val window covers [prev block | current block].
+    """
+    W = WINDOW + NS    # SMEM byte window per step
+
+    def kernel(slen_ref, val_hbm, out_hbm, olen_ref,
+               vsmem, osmem, table, sem_in, sem_out):
+        s = pl.program_id(0)
+        k = pl.program_id(1)
+        nb = pl.num_programs(1)
+        n = slen_ref[s * nb + k]
+
+        @pl.when(k == 0)
+        def _zero_table():
+            def z(i, _):
+                table[i] = -1
+                return 0
+            lax.fori_loop(0, HASH_SIZE, z, 0)
+
+        cp_in = pltpu.make_async_copy(val_hbm.at[s, k], vsmem.at[:, 0:W],
+                                      sem_in)
+        cp_in.start()
+        cp_in.wait()
+
+        start = k * WINDOW              # global position of block start
+        base = start - WINDOW           # global position of SMEM lane 0
+
+        def val(p):
+            return vsmem[0, p - base]
+
+        def byte(p):
+            return vsmem[0, p - base] & 0xFF
+
+        def copy_lit4(dst, src, end):
+            off = src - base - dst
+
+            def lit4(j):
+                w = vsmem[0, off + j]
+                osmem[0, j] = w & 0xFF
+                osmem[0, j + 1] = (w >> 8) & 0xFF
+                osmem[0, j + 2] = (w >> 16) & 0xFF
+                osmem[0, j + 3] = (w >> 24) & 0xFF
+                return j + 4
+            lax.while_loop(lambda j: j < end, lit4, dst)
+
+        def emit_ext(op, extra):
+            def cond(c):
+                e, _ = c
+                return e >= 255
+
+            def body(c):
+                e, op2 = c
+                osmem[0, op2] = 255
+                return e - 255, op2 + 1
+
+            extra, op = lax.while_loop(cond, body, (extra, op))
+            osmem[0, op] = extra
+            return op + 1
+
+        def emit_seq(op, anchor, litlen, offset, ml_code):
+            def fast(op):
+                osmem[0, op] = (litlen << 4) | ml_code
+                op = op + 1
+                lit_end = op + litlen
+                copy_lit4(op, anchor, lit_end)
+                osmem[0, lit_end] = offset & 0xFF
+                osmem[0, lit_end + 1] = offset >> 8
+                return lit_end + 2
+
+            def general(op):
+                tok_lit = jnp.minimum(litlen, 15)
+                tok_ml = jnp.minimum(ml_code, 15)
+                osmem[0, op] = (tok_lit << 4) | tok_ml
+                op = op + 1
+                op = lax.cond(litlen >= 15,
+                              lambda o: emit_ext(o, litlen - 15),
+                              lambda o: o, op)
+                lit_end = op + litlen
+                copy_lit4(op, anchor, lit_end)
+                op = lit_end
+                osmem[0, op] = offset & 0xFF
+                osmem[0, op + 1] = offset >> 8
+                op = op + 2
+                op = lax.cond(ml_code >= 15,
+                              lambda o: emit_ext(o, ml_code - 15),
+                              lambda o: o, op)
+                return op
+
+            return lax.cond(jnp.logical_and(litlen < 15, ml_code < 15),
+                            fast, general, op)
+
+        n_end = start + n           # global end of this block
+        mflimit = n_end - 12
+        matchlimit = n_end - 5
+        low = jnp.maximum(base, 0)  # lowest readable global position
+
+        def emit_final(op, anchor):
+            litlen = n_end - anchor
+            tok_lit = jnp.minimum(litlen, 15)
+            osmem[0, op] = tok_lit << 4
+            op = op + 1
+            op = lax.cond(litlen >= 15,
+                          lambda o: emit_ext(o, litlen - 15),
+                          lambda o: o, op)
+            lit_end = op + litlen
+            copy_lit4(op, anchor, lit_end)
+            return lit_end
+
+        def with_match(ip, op, anchor, q):
+            def bcond(c):
+                mp, qq = c
+                return jnp.logical_and(
+                    jnp.logical_and(mp > anchor, qq > low),
+                    byte(mp - 1) == byte(qq - 1))
+
+            def bbody(c):
+                mp, qq = c
+                return mp - 1, qq - 1
+
+            mp, q2 = lax.while_loop(bcond, bbody, (ip, q))
+
+            def f4cond(ml):
+                return jnp.logical_and(mp + ml + 4 <= matchlimit,
+                                       val(q2 + ml) == val(mp + ml))
+
+            ml = lax.while_loop(f4cond, lambda ml: ml + 4, ip + 4 - mp)
+            diff = val(q2 + ml) ^ val(mp + ml)
+            tail = (jnp.where((diff & 0xFF) == 0, 1, 0)
+                    + jnp.where((diff & 0xFFFF) == 0, 1, 0)
+                    + jnp.where((diff & 0xFFFFFF) == 0, 1, 0))
+            ml = jnp.minimum(ml + tail, matchlimit - mp)
+
+            op2 = emit_seq(op, anchor, mp - anchor, ip - q, ml - 4)
+            new_ip = mp + ml
+            p2 = new_ip - 2
+            table[_hash5(val(p2), val(p2 + 4) & 0xFF)] = p2
+            return (new_ip, op2, new_ip,
+                    jnp.int32(acceleration << SKIP_TRIGGER))
+
+        def main_body(state):
+            ip, op, anchor, scnt = state
+            h = _hash5(val(ip), val(ip + 4) & 0xFF)
+            e = table[h]
+            table[h] = ip
+            # clamp the candidate into the readable window before loading
+            qc = jnp.clip(e, low, n_end - 1)
+            good = jnp.logical_and(
+                e >= low,
+                jnp.logical_and(ip - e <= 65535, val(qc) == val(ip)))
+
+            def no_match(ip, op, anchor, scnt):
+                step = scnt >> SKIP_TRIGGER
+                return ip + step, op, anchor, scnt + 1
+
+            return lax.cond(good,
+                            lambda: with_match(ip, op, anchor, qc),
+                            lambda: no_match(ip, op, anchor, scnt))
+
+        def main_cond(state):
+            ip, op, anchor, scnt = state
+            return ip <= mflimit
+
+        # first block: position 0 can't match (empty window); later blocks
+        # may match from their first byte into the previous block
+        init = (start + jnp.where(k == 0, 1, 0).astype(jnp.int32),
+                jnp.int32(0), jnp.int32(start),
+                jnp.int32(acceleration << SKIP_TRIGGER))
+        run = n >= 13
+        ip, op, anchor, _ = lax.while_loop(
+            lambda st: jnp.logical_and(run, main_cond(st)), main_body, init)
+
+        op = emit_final(op, anchor)
+        olen_ref[s * nb + k] = jnp.where(n > 0, op, 0)
+
+        cp_out = pltpu.make_async_copy(osmem.at[:, 0:M], out_hbm.at[s, k],
+                                       sem_out)
+        cp_out.start()
+        cp_out.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("NS", "M", "acceleration", "interpret"))
+def _encode_blocks_linked(val_rows, slen, *, NS, M, acceleration, interpret):
+    S, NB = val_rows.shape[0], val_rows.shape[1]
+    W = WINDOW + NS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S, NB),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, W + 8), jnp.int32),
+            pltpu.SMEM((1, M + 8), jnp.int32),
+            pltpu.SMEM((HASH_SIZE,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out, olen = pl.pallas_call(
+        _make_encode_linked_kernel(NS, M, acceleration),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((S, NB, 1, M), jnp.int32),
+            jax.ShapeDtypeStruct((S * NB,), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(slen.reshape(S * NB), val_rows.reshape(S, NB, 1, W))
+    return out.reshape(S, NB, M), olen.reshape(S, NB)
+
+
+def encode_blocks_linked(val32_rows: jax.Array, src_lens: jax.Array,
+                         acceleration: int = 1):
+    """Compress streams of linked 64 KB blocks (device streaming mode).
+
+    Args:
+      val32_rows: [S, NB, 65536 + NS] int32 val32 lanes; row (s, k) covers
+        stream s's bytes [(k-1)*64K, (k+1)*64K) (zeros pad the front of
+        k=0 and the tail of the final partial block).  NS = 65536.
+      src_lens: [S, NB] int32 block lengths (all 65536 except the last
+        nonzero block per stream; zero rows are padding).
+
+    Returns (out [S, NB, M] int32 bytes, olen [S, NB]).
+    """
+    S, NB, W = val32_rows.shape
+    NS = W - WINDOW
+    if NS != WINDOW:
+        raise ValueError("linked kernel uses 64KB blocks")
+    M = -(-compress_bound(NS) // 128) * 128
+    return _encode_blocks_linked(val32_rows, src_lens.astype(jnp.int32),
+                                 NS=NS, M=M, acceleration=int(acceleration),
+                                 interpret=on_cpu())

@@ -24,11 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import spec
-from .frame import FrameInfo, FramePreferences, Lz4FrameError, \
-    decode_frame_header, encode_frame_header
+from .frame import FrameDecompressor, FrameInfo, FramePreferences, \
+    Lz4FrameError, decode_frame_header, encode_frame_header
 from .kernels.common import np_pack_rows
-from .kernels.decode_kernel import decode_blocks
-from .kernels.encode_kernel import bytes_to_val32_rows, encode_blocks
+from .kernels.decode_kernel import decode_blocks, decode_blocks_linked
+from .kernels.encode_kernel import bytes_to_val32_rows, encode_blocks, \
+    encode_blocks_linked
 from .ops.xxhash_native import xxh32 as xxh32_fast
 
 BLOCK = 65536  # device-path block granularity
@@ -87,16 +88,52 @@ def decode_batch(comp_list: List[bytes], out_cap: int,
 # frame pipeline
 # ---------------------------------------------------------------------------
 
+def encode_stream_linked(data: bytes, acceleration: int = 1):
+    """Compress one stream as a chain of linked 64 KB blocks on device.
+
+    Returns (payloads, block_lens): per-block compressed bytes + their
+    plaintext lengths, with LZ4_compress_fast_continue window semantics
+    (each block may match into the previous block).
+    """
+    BS = spec.WINDOW_SIZE
+    data = bytes(data)
+    nb = max(1, -(-len(data) // BS))
+    rows = np.zeros((nb, 2 * BS), np.uint8)
+    lens = np.zeros((1, nb), np.int32)
+    for k in range(nb):
+        lo, hi = (k - 1) * BS, (k + 1) * BS
+        chunk = data[max(lo, 0):hi]
+        rows[k, (0 if lo >= 0 else BS):(0 if lo >= 0 else BS) + len(chunk)] \
+            = np.frombuffer(chunk, np.uint8)
+        lens[0, k] = min(BS, len(data) - k * BS)
+    packed = (rows.reshape(nb, 2 * BS // 4, 4).astype(np.uint32))
+    packed = (packed[..., 0] | (packed[..., 1] << 8)
+              | (packed[..., 2] << 16) | (packed[..., 3] << 24)).astype(np.int32)
+    val = bytes_to_val32_rows(jnp.asarray(packed), 2 * BS)
+    out, olen = encode_blocks_linked(val.reshape(1, nb, 2 * BS),
+                                     jnp.asarray(lens), acceleration)
+    out, olen = np.asarray(out[0]), np.asarray(olen[0])
+    payloads = [out[k, :olen[k]].astype(np.uint8).tobytes()
+                for k in range(nb)]
+    return payloads, [int(lens[0, k]) for k in range(nb)]
+
+
 def compress_frame_device(data: bytes,
                           prefs: Optional[FramePreferences] = None,
                           block_size: int = BLOCK,
                           acceleration: int = 1) -> bytes:
     """One-shot frame compression with all block compute on TPU.
 
-    Emits a block-independent LZ4F frame (any standard decoder reads it;
-    parity target: LZ4F_compressFrame with blockMode=independent).
+    Block-independent frames batch blocks over the Pallas grid; linked
+    frames (``prefs.block_independent=False`` with 64 KB blocks) chain
+    them through the streaming kernel.  Parity target:
+    LZ4F_compressFrame for either blockMode.
     """
     prefs = dataclasses.replace(prefs) if prefs else FramePreferences()
+    linked = (not prefs.block_independent and len(data) > spec.WINDOW_SIZE
+              and block_size == spec.WINDOW_SIZE)
+    if linked:
+        return _compress_frame_device_linked(data, prefs, acceleration)
     prefs.block_independent = True
     if prefs.block_size_id == 0:
         prefs.block_size_id = spec.optimal_block_size_id(block_size)
@@ -133,16 +170,70 @@ def compress_frame_device(data: bytes,
     return b"".join(parts)
 
 
+def _compress_frame_device_linked(data: bytes, prefs: FramePreferences,
+                                  acceleration: int) -> bytes:
+    """Linked-frame assembly over the streaming encode kernel."""
+    prefs.block_independent = False
+    if prefs.block_size_id == 0:
+        prefs.block_size_id = 4        # 64KB, the kernel's chain unit
+    if spec.BLOCK_SIZES[prefs.block_size_id] < spec.WINDOW_SIZE:
+        raise Lz4FrameError("invalid block size id")
+    if prefs.content_size is not None and prefs.content_size != len(data):
+        raise Lz4FrameError("content_size does not match data")
+
+    data = bytes(data)
+    payloads, block_lens = encode_stream_linked(data, acceleration)
+    parts = [encode_frame_header(prefs)]
+    pos = 0
+    for payload, blen in zip(payloads, block_lens):
+        if blen == 0:
+            continue
+        if len(payload) >= blen:
+            # stored-block fallback (lz4frame.c:518-524); the next block's
+            # window is the plaintext either way
+            payload = data[pos:pos + blen]
+            header = struct.pack("<I", blen | spec.UNCOMPRESSED_BIT)
+        else:
+            header = struct.pack("<I", len(payload))
+        parts.append(header)
+        parts.append(payload)
+        if prefs.block_checksum:
+            parts.append(struct.pack("<I", xxh32_fast(payload, 0)))
+        pos += blen
+    parts.append(struct.pack("<I", 0))
+    if prefs.content_checksum:
+        parts.append(struct.pack("<I", xxh32_fast(data, 0)))
+    return b"".join(parts)
+
+
+def _literal_block(payload: bytes) -> bytes:
+    """Wrap raw bytes as a literals-only LZ4 block (token + run + bytes).
+
+    Used to splice a stored (uncompressed, lz4frame.c:518-524) block into
+    a linked chain decoded on device: the wrapped block decodes to the
+    stored bytes and so keeps the 64 KB window contract intact.
+    """
+    n = len(payload)
+    if n < 15:
+        return bytes([n << 4]) + payload
+    ext = n - 15
+    out = bytearray([0xF0])
+    while ext >= 255:
+        out.append(255)
+        ext -= 255
+    out.append(ext)
+    return bytes(out) + payload
+
+
 def decompress_frame_device(frame: bytes) -> Tuple[bytes, int]:
     """One-shot frame decompression with block compute on TPU.
 
-    Requires a block-independent frame (the reference's multithread-able
-    mode); linked frames raise and should take the host/streaming path.
-    Returns (content, bytes_consumed).
+    Handles block-independent frames (batched grid decode) and
+    block-linked frames with block size <= 64 KB (chained-window kernel,
+    the reference CLI's default output mode).  Returns
+    (content, bytes_consumed).
     """
     info = decode_frame_header(frame)
-    if not info.block_independent:
-        raise Lz4FrameError("device path requires independent blocks")
     if info.block_size > BLOCK:
         raise Lz4FrameError("block size exceeds device kernel maximum")
     pos = info.header_size
@@ -172,10 +263,51 @@ def decompress_frame_device(frame: bytes) -> Tuple[bytes, int]:
             stored.append(None)
             comp_blocks.append(payload)
 
-    todo = [c for c in comp_blocks if c is not None]
-    decoded = decode_batch(todo, info.block_size) if todo else []
-    it = iter(decoded)
-    content = b"".join(s if s is not None else next(it) for s in stored)
+    if info.block_independent:
+        todo = [c for c in comp_blocks if c is not None]
+        decoded = decode_batch(todo, info.block_size) if todo else []
+        it = iter(decoded)
+        content = b"".join(s if s is not None else next(it)
+                           for s in stored)
+    elif not comp_blocks:
+        content = b""
+    else:
+        # linked chain: stored blocks splice in as literal-only blocks so
+        # the kernel's block-to-block window carry stays correct
+        payloads = [c if c is not None else _literal_block(s)
+                    for c, s in zip(comp_blocks, stored)]
+        bs = info.block_size
+        if bs < spec.WINDOW_SIZE:
+            # window would span several blocks (non-conformant but legal
+            # framing): the host codec tracks the true 64KB window
+            d = FrameDecompressor()
+            used, content = d.feed(frame)
+            if not d.finished:
+                raise Lz4FrameError("truncated frame")
+            return content, used
+        M = -(-max(len(c) for c in payloads) // 128) * 128
+        B = len(payloads)
+        arr = np.zeros((B, M), np.int32)
+        lens = np.zeros((B,), np.int32)
+        for i, c in enumerate(payloads):
+            arr[i, :len(c)] = np.frombuffer(bytes(c), np.uint8)
+            lens[i] = len(c)
+        out, olen = decode_blocks_linked(jnp.asarray(arr),
+                                         jnp.asarray(lens), bs)
+        out, olen = np.asarray(out), np.asarray(olen)
+        if (olen < 0).any():
+            bad = int(np.nonzero(olen < 0)[0][0])
+            raise Lz4FrameError(f"device decode failed on block {bad}")
+        if (olen[:-1] != bs).any():
+            # partial non-final block: window would be misaligned; the
+            # host frame codec handles this (legal but unusual) layout
+            d = FrameDecompressor()
+            used, content = d.feed(frame)
+            if not d.finished:
+                raise Lz4FrameError("truncated frame")
+            return content, used
+        content = b"".join(bytes(out[i, :olen[i]].astype(np.uint8))
+                           for i in range(B))
 
     if info.content_checksum:
         if pos + 4 > len(frame):

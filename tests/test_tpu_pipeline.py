@@ -96,3 +96,124 @@ def test_graft_entry():
     comp, clen = jax.jit(fn)(*args)
     assert comp.shape[0] == args[0].shape[0]
     __graft_entry__.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# linked (chained-window) device decode
+# ---------------------------------------------------------------------------
+
+def _mixed_data(n):
+    parts = []
+    i = 0
+    while sum(map(len, parts)) < n:
+        parts.append(gen_buffer(3000, 0.6, 40 + i))
+        parts.append(incompressible(600))
+        i += 1
+    return b"".join(parts)[:n]
+
+
+def test_device_linked_frame_roundtrip():
+    from lz4_tpu.frame import compress_frame
+    data = _mixed_data(3 * 65536 + 777)
+    prefs = FramePreferences(block_size_id=4, block_independent=False,
+                             content_checksum=True, content_size=len(data))
+    # host compressor emits a genuine linked frame (64KB blocks)
+    frame = compress_frame(data, prefs)
+    out, used = decompress_frame_device(frame)
+    assert out == data and used == len(frame)
+
+
+def test_device_linked_decode_of_reference_frame():
+    if not oracle.available():
+        pytest.skip("reference library unavailable")
+    data = _mixed_data(200_000)
+    # blockMode=0 is LZ4F_blockLinked, bsid 4 = 64KB blocks
+    frame = oracle.ref_compress_frame(data, block_size_id=4, block_mode=0)
+    out, used = decompress_frame_device(frame)
+    assert out == data
+
+
+def test_device_linked_stored_block_splice():
+    from lz4_tpu.frame import compress_frame
+    # incompressible blocks force stored-block fallbacks inside the chain,
+    # while later compressible blocks may match into them via the window
+    data = incompressible(2 * 65536) + gen_buffer(65536, 0.5, 7) + \
+        incompressible(65536 // 2)
+    prefs = FramePreferences(block_size_id=4, block_independent=False)
+    frame = compress_frame(data, prefs)
+    out, _ = decompress_frame_device(frame)
+    assert out == data
+
+
+def test_device_linked_kernel_matches_window_semantics():
+    from lz4_tpu.kernels.decode_kernel import decode_blocks_linked
+    from lz4_tpu.ops.block_np import compress_block
+    # hand-build a chain whose window is exactly the previous block,
+    # matching the kernel's 64KB-full-blocks contract at test scale
+    data = _mixed_data(4 * BS)
+    blocks = [data[i:i + BS] for i in range(0, len(data), BS)]
+    payloads = [compress_block(b, dict_=(blocks[i - 1] if i else b""))
+                for i, b in enumerate(blocks)]
+    M = -(-max(len(c) for c in payloads) // 128) * 128
+    arr = np.zeros((len(payloads), M), np.int32)
+    lens = np.zeros((len(payloads),), np.int32)
+    for i, c in enumerate(payloads):
+        arr[i, :len(c)] = np.frombuffer(c, np.uint8)
+        lens[i] = len(c)
+    out, olen = decode_blocks_linked(jnp.asarray(arr), jnp.asarray(lens), BS)
+    out, olen = np.asarray(out), np.asarray(olen)
+    for i, b in enumerate(blocks):
+        assert olen[i] == len(b), (i, olen[i])
+        assert bytes(out[i, :olen[i]].astype(np.uint8)) == b, i
+
+
+def test_device_linked_rejects_corrupt_chain():
+    from lz4_tpu.kernels.decode_kernel import decode_blocks_linked
+    from lz4_tpu.ops.block_np import compress_block
+    data = _mixed_data(3 * BS)
+    blocks = [data[i:i + BS] for i in range(0, len(data), BS)]
+    payloads = [compress_block(b, dict_=(blocks[i - 1] if i else b""))
+                for i, b in enumerate(blocks)]
+    M = -(-max(len(c) for c in payloads) // 128) * 128
+    arr = np.zeros((len(payloads), M), np.int32)
+    lens = np.zeros((len(payloads),), np.int32)
+    for i, c in enumerate(payloads):
+        arr[i, :len(c)] = np.frombuffer(c, np.uint8)
+        lens[i] = len(c)
+    lens[1] -= 2  # truncate a middle block
+    out, olen = decode_blocks_linked(jnp.asarray(arr), jnp.asarray(lens), BS)
+    assert np.asarray(olen)[1] == -1
+
+
+# ---------------------------------------------------------------------------
+# linked (streaming) device encode
+# ---------------------------------------------------------------------------
+
+def test_device_linked_encode_roundtrip_and_reference():
+    from lz4_tpu.frame import decompress_frame
+    data = _mixed_data(3 * 65536 + 999)
+    prefs = FramePreferences(block_size_id=4, block_independent=False,
+                             content_checksum=True, content_size=len(data))
+    frame = compress_frame_device(data, prefs)
+    # header advertises linked blocks
+    from lz4_tpu.frame import decode_frame_header
+    assert not decode_frame_header(frame).block_independent
+    out, _ = decompress_frame(frame)          # host decoder
+    assert out == data
+    out2, _ = decompress_frame_device(frame)  # device chain decoder
+    assert out2 == data
+    if oracle.available():
+        assert oracle.ref_decompress_frame(frame, len(data)) == data
+
+
+def test_device_linked_encode_beats_independent_ratio():
+    # repeated content across block boundaries: linking must help
+    seed = gen_buffer(65536, 0.8, 123)
+    data = seed * 3
+    prefs_l = FramePreferences(block_size_id=4, block_independent=False)
+    prefs_i = FramePreferences(block_size_id=4, block_independent=True)
+    linked = compress_frame_device(data, prefs_l)
+    indep = compress_frame_device(data, prefs_i, block_size=65536)
+    assert len(linked) < len(indep)
+    out, _ = decompress_frame_device(linked)
+    assert out == data
