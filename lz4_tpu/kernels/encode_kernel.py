@@ -331,10 +331,18 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
     matches reach into the previous block exactly like
     ``LZ4_compress_fast_continue`` prefix mode (lz4.c:990-1045).  Each grid
     step's SMEM val window covers [prev block | current block].
+
+    A stream may start with a pre-existing 64 KB dictionary prefix
+    (prefix_ref[s] > 0): block 0's window rows hold it and the table is
+    seeded with every 3rd prefix position, mirroring LZ4_loadDict
+    (lz4.c:944-948).  This is what lets ONE huge linked frame be encoded
+    data-parallel across a mesh with full window ratio and zero
+    communication: each shard's prefix is simply the preceding 64 KB of
+    input, which the host replicates into the shard's rows.
     """
     W = WINDOW + NS    # SMEM byte window per step
 
-    def kernel(slen_ref, val_hbm, out_hbm, olen_ref,
+    def kernel(slen_ref, prefix_ref, val_hbm, out_hbm, olen_ref,
                vsmem, osmem, table, sem_in, sem_out):
         s = pl.program_id(0)
         k = pl.program_id(1)
@@ -355,6 +363,7 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
 
         start = k * WINDOW              # global position of block start
         base = start - WINDOW           # global position of SMEM lane 0
+        prefix = jnp.where(k == 0, prefix_ref[s], WINDOW)
 
         def val(p):
             return vsmem[0, p - base]
@@ -423,7 +432,16 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
         n_end = start + n           # global end of this block
         mflimit = n_end - 12
         matchlimit = n_end - 5
-        low = jnp.maximum(base, 0)  # lowest readable global position
+        low = start - prefix        # lowest readable global position
+
+        @pl.when(jnp.logical_and(k == 0, prefix > 0))
+        def _seed_prefix():
+            # LZ4_loadDict parity: insert every 3rd dictionary position
+            def ins(i, _):
+                p = low + 3 * i
+                table[_hash5(val(p), val(p + 4) & 0xFF)] = p
+                return 0
+            lax.fori_loop(0, jnp.maximum((prefix - 4) // 3 + 1, 0), ins, 0)
 
         def emit_final(op, anchor):
             litlen = n_end - anchor
@@ -491,9 +509,9 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
             ip, op, anchor, scnt = state
             return ip <= mflimit
 
-        # first block: position 0 can't match (empty window); later blocks
-        # may match from their first byte into the previous block
-        init = (start + jnp.where(k == 0, 1, 0).astype(jnp.int32),
+        # a block with any window may match from its first byte; only a
+        # windowless stream start must skip position 0
+        init = (start + jnp.where(prefix > 0, 0, 1).astype(jnp.int32),
                 jnp.int32(0), jnp.int32(start),
                 jnp.int32(acceleration << SKIP_TRIGGER))
         run = n >= 13
@@ -513,11 +531,12 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("NS", "M", "acceleration", "interpret"))
-def _encode_blocks_linked(val_rows, slen, *, NS, M, acceleration, interpret):
+def _encode_blocks_linked(val_rows, slen, prefix, *, NS, M, acceleration,
+                          interpret):
     S, NB = val_rows.shape[0], val_rows.shape[1]
     W = WINDOW + NS
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(S, NB),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
@@ -541,12 +560,13 @@ def _encode_blocks_linked(val_rows, slen, *, NS, M, acceleration, interpret):
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(slen.reshape(S * NB), val_rows.reshape(S, NB, 1, W))
+    )(slen.reshape(S * NB), prefix, val_rows.reshape(S, NB, 1, W))
     return out.reshape(S, NB, M), olen.reshape(S, NB)
 
 
 def encode_blocks_linked(val32_rows: jax.Array, src_lens: jax.Array,
-                         acceleration: int = 1):
+                         acceleration: int = 1,
+                         prefix_lens: jax.Array | None = None):
     """Compress streams of linked 64 KB blocks (device streaming mode).
 
     Args:
@@ -555,6 +575,9 @@ def encode_blocks_linked(val32_rows: jax.Array, src_lens: jax.Array,
         k=0 and the tail of the final partial block).  NS = 65536.
       src_lens: [S, NB] int32 block lengths (all 65536 except the last
         nonzero block per stream; zero rows are padding).
+      prefix_lens: optional [S] int32 dictionary-prefix length for each
+        stream's first block (0 or 65536; the prefix bytes live in row
+        (s, 0)'s leading window lanes).
 
     Returns (out [S, NB, M] int32 bytes, olen [S, NB]).
     """
@@ -562,7 +585,10 @@ def encode_blocks_linked(val32_rows: jax.Array, src_lens: jax.Array,
     NS = W - WINDOW
     if NS != WINDOW:
         raise ValueError("linked kernel uses 64KB blocks")
+    if prefix_lens is None:
+        prefix_lens = jnp.zeros((S,), jnp.int32)
     M = -(-compress_bound(NS) // 128) * 128
     return _encode_blocks_linked(val32_rows, src_lens.astype(jnp.int32),
+                                 prefix_lens.astype(jnp.int32),
                                  NS=NS, M=M, acceleration=int(acceleration),
                                  interpret=on_cpu())

@@ -23,7 +23,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kernels.decode_kernel import decode_blocks
-from ..kernels.encode_kernel import bytes_to_val32_rows, encode_blocks
+from ..kernels.encode_kernel import bytes_to_val32_rows, \
+    encode_blocks, encode_blocks_linked
 
 AXIS = "blocks"
 
@@ -112,3 +113,94 @@ def shard_rows(mesh: Mesh, arr: jax.Array) -> jax.Array:
     ndim = arr.ndim
     spec = P(AXIS, *([None] * (ndim - 1)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+# ---------------------------------------------------------------------------
+# one huge linked frame, data-parallel over the mesh (SURVEY 2.5 / 5)
+# ---------------------------------------------------------------------------
+
+def encode_linked_sharded(mesh: Mesh, val_rows: jax.Array, lens: jax.Array,
+                          prefix: jax.Array, acceleration: int = 1):
+    """Shard-mapped streaming encode: stream (shard) axis over the mesh.
+
+    val_rows [S, NB, 131072] val32 lanes, lens [S, NB], prefix [S].
+    """
+    fn = functools.partial(encode_blocks_linked, acceleration=acceleration)
+    mapped = jax.shard_map(
+        lambda v, ln, pf: fn(v, ln, prefix_lens=pf),
+        mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS)),
+        out_specs=(P(AXIS, None, None), P(AXIS, None)),
+        check_vma=False,
+    )
+    return mapped(val_rows, lens, prefix)
+
+
+def compress_frame_mesh(mesh: Mesh, data: bytes,
+                        content_checksum: bool = True,
+                        acceleration: int = 1) -> bytes:
+    """Compress ONE blob into ONE linked LZ4F frame, data-parallel.
+
+    The 64 KB window a shard's first block needs is just the preceding
+    64 KB of *input*, so the host replicates it into the shard's rows and
+    the kernel seeds its table from it (LZ4_loadDict parity) — full
+    linked-window ratio with zero inter-chip communication.  Compressed
+    lengths come back with the rows (the all-gather is the shard_map
+    output resharding) and the host concatenates payloads in frame order.
+    """
+    from ..frame import FramePreferences, encode_frame_header
+    from ..ops.xxhash_native import xxh32 as xxh32_fast
+    from .. import spec
+    import struct
+
+    BS = 65536
+    data = bytes(data)
+    D = mesh.shape[AXIS]
+    nb_total = max(1, -(-len(data) // BS))
+    NB = -(-nb_total // D)
+    S = D
+    rows = np.zeros((S, NB, 2 * BS), np.uint8)
+    lens = np.zeros((S, NB), np.int32)
+    prefix = np.zeros((S,), np.int32)
+    for g in range(nb_total):
+        s, k = g // NB, g % NB
+        lo, hi = (g - 1) * BS, (g + 1) * BS
+        chunk = data[max(lo, 0):hi]
+        ofs = 0 if lo >= 0 else BS
+        rows[s, k, ofs:ofs + len(chunk)] = np.frombuffer(chunk, np.uint8)
+        lens[s, k] = min(BS, len(data) - g * BS)
+    for s in range(1, S):
+        if lens[s, 0] > 0:
+            prefix[s] = BS
+    w = rows.reshape(S * NB, 2 * BS // 4, 4).astype(np.uint32)
+    packed = (w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
+              | (w[..., 3] << 24)).astype(np.int32)
+    val = bytes_to_val32_rows(jnp.asarray(packed), 2 * BS)
+    val = shard_rows(mesh, val.reshape(S, NB, 2 * BS))
+    out, olen = encode_linked_sharded(mesh, val, jnp.asarray(lens),
+                                      jnp.asarray(prefix), acceleration)
+    out, olen = np.asarray(out), np.asarray(olen)
+
+    prefs = FramePreferences(block_size_id=4, block_independent=False,
+                             content_checksum=content_checksum,
+                             content_size=len(data))
+    parts = [encode_frame_header(prefs)]
+    pos = 0
+    for g in range(nb_total):
+        s, k = g // NB, g % NB
+        blen = int(lens[s, k])
+        if blen == 0:
+            continue
+        clen = int(olen[s, k])
+        if clen >= blen:
+            payload = data[pos:pos + blen]
+            parts.append(struct.pack("<I", blen | spec.UNCOMPRESSED_BIT))
+        else:
+            payload = out[s, k, :clen].astype(np.uint8).tobytes()
+            parts.append(struct.pack("<I", clen))
+        parts.append(payload)
+        pos += blen
+    parts.append(struct.pack("<I", 0))
+    if content_checksum:
+        parts.append(struct.pack("<I", xxh32_fast(data, 0)))
+    return b"".join(parts)

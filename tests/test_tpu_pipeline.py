@@ -217,3 +217,27 @@ def test_device_linked_encode_beats_independent_ratio():
     assert len(linked) < len(indep)
     out, _ = decompress_frame_device(linked)
     assert out == data
+
+
+def test_compress_frame_mesh_single_linked_frame():
+    """One blob -> one linked frame, sharded over the 8-device mesh with
+    window handoff via input-overlap + table seeding (full ratio)."""
+    from lz4_tpu.frame import decompress_frame
+    from lz4_tpu.parallel.mesh import compress_frame_mesh, default_mesh
+    mesh = default_mesh()
+    # ~5 blocks of repetitive-across-blocks data over 8 devices
+    seed = gen_buffer(40_000, 0.75, 55)
+    data = (seed * 9)[:5 * 65536 + 12345]
+    frame = compress_frame_mesh(mesh, data)
+    out, used = decompress_frame(frame)
+    assert out == data and used == len(frame)
+    if oracle.available():
+        assert oracle.ref_decompress_frame(frame, len(data)) == data
+    # window handoff must preserve cross-shard matches: the sharded frame
+    # must compress meaningfully better than independent blocks
+    indep = compress_frame_device(data, FramePreferences(block_size_id=4),
+                                  block_size=65536)
+    assert len(frame) < len(indep)
+    # and the device chain decoder reads it back too
+    out2, _ = decompress_frame_device(frame)
+    assert out2 == data
