@@ -126,6 +126,15 @@ def main():
     dec()
     report("kernels.decode_blocks", n, timeit(dec))
 
+    from lz4_tpu.kernels.decode_kernel import decode_blocks_linked
+    from lz4_tpu.kernels.encode_kernel import encode_blocks_linked
+    from lz4_tpu.kernels.xxh32_kernel import xxh32_batch
+
+    def xxh():
+        xxh32_batch(pd, lens, 0)
+    xxh()
+    report("kernels.xxh32_batch (VPU)", n, timeit(xxh))
+
     print("== device frame pipeline (incl. host assembly + transfers) ==")
     fr = compress_frame_device(data)
     report("tpu.compress_frame_device", n,

@@ -1,0 +1,169 @@
+"""Batched XXH32 on the TPU vector unit.
+
+XXH32's stripe chain (reference xxhash.c:306-331) is strictly sequential
+*within* a stream — rotl breaks every associative-scan decomposition — but
+across a batch it vectorizes perfectly: transpose the packed words to
+[words, blocks] so that lane b carries block b's four accumulators and a
+stripe step is four rows of fused uint32 multiply/add/rotate ops.  No
+gathers, no scalar loop over bytes; measured orders of magnitude above the
+scalar-core alternative.
+
+The kernel produces the four stripe accumulators per block; the <16-byte
+tail and avalanche (xxhash.c:334-371) are finished vectorized on the host
+(numpy over [B], a few bytes per block).  Parity: XXH32 with any seed,
+bit-exact against the reference's LZ4_XXH32 for every length.
+
+Use cases: LZ4F per-block checksums (lz4frame.c blockChecksum flag),
+per-buffer CRC verification in sgtest-style property tests, and mesh-side
+integrity checks without shipping payloads to the host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import on_cpu
+
+P1 = np.uint32(2654435761)
+P2 = np.uint32(2246822519)
+P3 = np.uint32(3266489917)
+P4 = np.uint32(668265263)
+P5 = np.uint32(374761393)
+
+CHUNK = 32          # stripes per grid step (rows per step = 4*CHUNK)
+
+
+def _rotl(x, r):
+    return (x << r) | (x >> (32 - r))
+
+
+def _make_kernel(T: int, B: int):
+    def kernel(ns_ref, words_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            seedrow = ns_ref[1:2, :].astype(jnp.uint32)  # row 1 = seed
+            acc_ref[0:1, :] = seedrow + P1 + P2
+            acc_ref[1:2, :] = seedrow + P2
+            acc_ref[2:3, :] = seedrow
+            acc_ref[3:4, :] = seedrow - P1
+
+        nstripes = ns_ref[0:1, :]
+        a0 = acc_ref[0:1, :].astype(jnp.uint32)
+        a1 = acc_ref[1:2, :].astype(jnp.uint32)
+        a2 = acc_ref[2:3, :].astype(jnp.uint32)
+        a3 = acc_ref[3:4, :].astype(jnp.uint32)
+        for t in range(CHUNK):
+            s = i * CHUNK + t
+            live = nstripes > s
+            x0 = words_ref[4 * t + 0:4 * t + 1, :].astype(jnp.uint32)
+            x1 = words_ref[4 * t + 1:4 * t + 2, :].astype(jnp.uint32)
+            x2 = words_ref[4 * t + 2:4 * t + 3, :].astype(jnp.uint32)
+            x3 = words_ref[4 * t + 3:4 * t + 4, :].astype(jnp.uint32)
+            a0 = jnp.where(live, _rotl(a0 + x0 * P2, 13) * P1, a0)
+            a1 = jnp.where(live, _rotl(a1 + x1 * P2, 13) * P1, a1)
+            a2 = jnp.where(live, _rotl(a2 + x2 * P2, 13) * P1, a2)
+            a3 = jnp.where(live, _rotl(a3 + x3 * P2, 13) * P1, a3)
+        acc_ref[0:1, :] = a0.astype(jnp.int32)
+        acc_ref[1:2, :] = a1.astype(jnp.int32)
+        acc_ref[2:3, :] = a2.astype(jnp.int32)
+        acc_ref[3:4, :] = a3.astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("T", "B", "interpret"))
+def _xxh32_stripes(wordsT, ns_rows, *, T, B, interpret):
+    grid = (max(T // CHUNK, 1),)
+    acc = pl.pallas_call(
+        _make_kernel(T, B),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, B), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * CHUNK, B), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, B), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, B), jnp.int32),
+        interpret=interpret,
+    )(ns_rows, wordsT)
+    return acc[:4]
+
+
+def xxh32_batch(packed_words, lens, seed: int = 0):
+    """XXH32 of B independent buffers, stripes on the VPU.
+
+    Args:
+      packed_words: [B, W] int32/uint32 LE words (zero padded rows).
+      lens: [B] byte lengths.
+      seed: common seed.
+
+    Returns np.ndarray [B] uint32 digests (bit-exact XXH32).
+    """
+    packed_words = jnp.asarray(packed_words)
+    lens_np = np.asarray(lens).astype(np.int64)
+    B0, W0 = packed_words.shape
+    B = -(-B0 // 128) * 128
+    T = max(-(-W0 // (4 * CHUNK)), 1) * CHUNK
+    w = jnp.pad(packed_words.astype(jnp.int32),
+                ((0, B - B0), (0, 4 * T - W0)))
+    wordsT = w.T                      # [4T, B]
+    ns = np.zeros((8, B), np.int32)
+    ns[0, :B0] = (lens_np // 16).astype(np.int32)
+    ns[1, :] = np.int32(np.uint32(seed).view(np.int32))
+    acc = np.asarray(_xxh32_stripes(wordsT, jnp.asarray(ns),
+                                    T=T, B=B, interpret=on_cpu()))
+    acc = acc[:, :B0].astype(np.uint32)
+
+    # ---- host finish: converge + tail + avalanche (xxhash.c:334-371) ----
+    words = np.asarray(packed_words).astype(np.uint32)[:B0]
+    lens32 = lens_np.astype(np.uint32)
+    seed32 = np.uint32(seed)
+    big = lens_np >= 16
+    h = np.where(
+        big,
+        (np.left_shift(acc[0], 1) | np.right_shift(acc[0], 31))
+        + (np.left_shift(acc[1], 7) | np.right_shift(acc[1], 25))
+        + (np.left_shift(acc[2], 12) | np.right_shift(acc[2], 20))
+        + (np.left_shift(acc[3], 18) | np.right_shift(acc[3], 14)),
+        seed32 + P5).astype(np.uint32)
+    h = (h + lens32).astype(np.uint32)
+
+    # tail: whole words then bytes, per-lane masked
+    base_words = (lens_np // 16 * 4).astype(np.int64)
+    rem = lens_np % 16
+    idx = np.arange(B0)
+    for j in range(3):
+        m = rem >= (j + 1) * 4
+        wj = words[idx, np.minimum(base_words + j, words.shape[1] - 1)]
+        cand = (h + wj * P3).astype(np.uint32)
+        cand = ((cand << 17) | (cand >> 15)).astype(np.uint32) * P4
+        h = np.where(m, cand.astype(np.uint32), h)
+    nb = rem % 4
+    byte_base = (lens_np - nb).astype(np.int64)
+    for j in range(3):
+        m = nb >= j + 1
+        widx = np.minimum((byte_base + j) // 4, words.shape[1] - 1)
+        shift = ((byte_base + j) % 4 * 8).astype(np.uint32)
+        bj = (words[idx, widx] >> shift) & np.uint32(0xFF)
+        cand = (h + bj * P5).astype(np.uint32)
+        cand = ((cand << 11) | (cand >> 21)).astype(np.uint32) * P1
+        h = np.where(m, cand.astype(np.uint32), h)
+
+    h ^= h >> 15
+    h = (h * P2).astype(np.uint32)
+    h ^= h >> 13
+    h = (h * P3).astype(np.uint32)
+    h ^= h >> 16
+    return h.astype(np.uint32)
