@@ -27,7 +27,8 @@ import numpy as np  # noqa: E402
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-CORPUS_MB = int(os.environ.get("LZ4TPU_BENCH_MB", "32"))
+# 64MB amortizes the jit dispatch/transfer overhead (~0.3s) to <10%
+CORPUS_MB = int(os.environ.get("LZ4TPU_BENCH_MB", "64"))
 BLOCK = 65536
 RUNS = 3
 PUBLISHED_DECODE_MBS = 2297.0  # reference README.md:28
@@ -102,6 +103,8 @@ def main():
     prefs = FramePreferences(block_size_id=4, content_size=len(data))
 
     # correctness gate: full frame pipeline round-trips bit-exactly
+    # (linked mode by default now — the LZ4F default blockMode, better
+    # ratio than the reference bench's independent 64KB chunks)
     frame = compress_frame_device(data, prefs, block_size=BLOCK)
     out, _ = decompress_frame_device(frame)
     assert xxh64(out) == crc0, "round-trip corrupted"
@@ -145,6 +148,7 @@ def main():
         "vs_baseline": round(dec_mbs / base_dec, 4),
         "encode_mbs": round(enc_mbs, 1),
         "ratio": round(ratio, 4),
+        "block_ratio": round(float(np.asarray(clen).sum()) / len(data), 4),
         "corpus_mb": round(mb, 1),
         "baseline_decode_mbs": round(base_dec, 1),
         "baseline_encode_mbs": round(ref["enc_mbs"], 1) if ref else None,

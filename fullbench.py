@@ -127,13 +127,30 @@ def main():
     report("kernels.decode_blocks", n, timeit(dec))
 
     from lz4_tpu.kernels.decode_kernel import decode_blocks_linked
-    from lz4_tpu.kernels.encode_kernel import encode_blocks_linked
+    from lz4_tpu.kernels.hc_kernel import encode_blocks_hc
     from lz4_tpu.kernels.xxh32_kernel import xxh32_batch
 
     def xxh():
         xxh32_batch(pd, lens, 0)
     xxh()
     report("kernels.xxh32_batch (VPU)", n, timeit(xxh))
+
+    def declink():
+        _, ol = decode_blocks_linked(comp_d, clen_d, chunk)
+        np.asarray(ol)
+    declink()
+    report("kernels.decode_blocks_linked", n, timeit(declink))
+
+    hc_n = min(n, 8 * chunk)          # HC is chain-bound: bench a slice
+    hc_rows = pd[:hc_n // chunk]
+    hc_lens = ld[:hc_n // chunk]
+
+    def hc():
+        val = bytes_to_val32_rows(hc_rows, chunk)
+        _, ol = encode_blocks_hc(val, hc_lens, 9)
+        np.asarray(ol)
+    hc()
+    report("kernels.encode_blocks_hc (HC9)", hc_n, timeit(hc, 1))
 
     print("== device frame pipeline (incl. host assembly + transfers) ==")
     fr = compress_frame_device(data)
