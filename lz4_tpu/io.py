@@ -96,8 +96,9 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, prefs: IoPrefs,
 
     use_device = prefs.use_device
     if use_device is None:
-        use_device = (not prefs.block_linked and prefs.level < 3
-                      and _device_available())
+        # fast levels route to the device kernels; linked (-BD) uses the
+        # chained streaming kernel at its 64KB window granularity
+        use_device = prefs.level < 3 and _device_available()
 
     if use_device:
         from .tpu import compress_frame_device

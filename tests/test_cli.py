@@ -198,3 +198,22 @@ def test_bench_mode(tmp_path):
     p = run_cli(["-b1", "-i1", str(src)])
     assert p.returncode == 0, p.stderr
     assert b"MB/s" in p.stdout
+
+
+def test_block_dependency_flag_roundtrip(tmp_path):
+    """-BD emits a linked frame (device chain path) that we and the
+    reference CLI both decode."""
+    import subprocess, sys
+    src = tmp_path / "in.bin"
+    data = (gen_buffer(70000, 0.7, 31) + b"Z" * 5000) * 3
+    src.write_bytes(data)
+    out = tmp_path / "in.bin.lz4"
+    r = run_cli(["-BD", "-f", str(src), str(out)])
+    assert r.returncode == 0, r.stderr
+    from lz4_tpu.frame import decode_frame_header
+    frame = out.read_bytes()
+    assert not decode_frame_header(frame).block_independent
+    back = tmp_path / "back.bin"
+    r = run_cli(["-d", "-f", str(out), str(back)])
+    assert r.returncode == 0, r.stderr
+    assert back.read_bytes() == data
