@@ -240,20 +240,10 @@ def _make_decode_kernel(M: int, N: int, P: int, linked: bool = False):
             offset = w & 0xFFFF
             opos2 = opos1 + mlen
 
-            # literal injection
-            def lit_bcast(carry):
-                sh = jnp.clip(lane - cpos, 0, 3) * 8
-                v = (sval(ip1) >> sh) & 0xFF
-                return merge(carry, v, cpos, ll)
-
-            def lit_window(carry):
-                v = window(cvmem, ip1 - cpos)
-                return merge(carry, v, cpos, ll)
-
-            carry = lax.cond(
-                ll > 0,
-                lambda c: lax.cond(ll <= 4, lit_bcast, lit_window, c),
-                lambda c: c, carry)
+            # literal injection, branchless: ll <= 4 on this path, so the
+            # broadcast-shift covers every case (ll == 0 merges nothing)
+            sh = jnp.clip(lane - cpos, 0, 3) * 8
+            carry = merge(carry, (sval(ip1) >> sh) & 0xFF, cpos, ll)
 
             ended = ipm == n
             ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
@@ -289,10 +279,11 @@ def _make_decode_kernel(M: int, N: int, P: int, linked: bool = False):
             ll = token >> 4
             ml_nib = token & 15
             cpos = opos & 127
-            # fast iff: no length extensions, no row crossing (strict, so
-            # the carry never flushes on fill), match won't need doubling
+            # fast iff: short literals (broadcast-injectable), no length
+            # extensions, no row crossing (strict, so the carry never
+            # flushes on fill), match won't need overlap doubling
             fast = jnp.logical_and(
-                jnp.logical_and(ll < 15, ml_nib < 15),
+                jnp.logical_and(ll <= 4, ml_nib < 15),
                 cpos + ll + ml_nib <= 123)
             mpos = ip + 1 + ll
             fast = jnp.logical_and(
