@@ -227,7 +227,10 @@ def _decode_one_frame(data: bytes, prefs: IoPrefs, use_device: bool):
         from .tpu import decompress_frame_device
         info = decode_frame_header(data)
         if info.block_size <= 65536:
-            return decompress_frame_device(data)
+            try:
+                return decompress_frame_device(data)
+            except Lz4FrameError:
+                pass  # host path below gives exact errors / full layouts
     d = FrameDecompressor()
     used, out = d.feed(data)
     if not d.finished:

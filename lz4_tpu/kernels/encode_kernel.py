@@ -18,9 +18,9 @@ The scalar core is issue-bound, so the loop is organised around op count:
 * Sequence emission takes a straight-line fast path when both lengths fit
   their token nibbles (the common case); length extensions branch out.
 * The hash table lives in SMEM and is shared across grid steps: entries
-  are tagged with the block index (entry = b * 2^18 + pos), so stale
-  entries from earlier blocks never validate and the table is zeroed only
-  once.
+  are tagged with the block index (entry = (b & 8191) << 18 | pos), so
+  stale entries from earlier blocks never validate; the table re-zeroes
+  only when the tag space wraps (every 8192 blocks).
 
 Cited reference behaviour: hash insert of every scanned position
 (lz4.c:598-612), catch-up backward extension (lz4.c:635), extra insert
@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import on_cpu
+from .emit import make_emitters
 from ..spec import compress_bound
 
 HASH_LOG = 13
@@ -82,8 +83,12 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
                vsmem, osmem, table, sem_in, sem_out):
         b = pl.program_id(0)
         n = slen_ref[b]
+        # tags live in bits [POS_BITS, 31): wrap at 8192 blocks and re-zero
+        # the table on wrap so tag collisions with stale entries are
+        # impossible (b << POS_BITS would overflow int32 at b >= 8192)
+        bt = b & 8191
 
-        @pl.when(b == 0)
+        @pl.when(bt == 0)
         def _zero_table():
             def z(i, _):
                 table[i] = -1
@@ -95,7 +100,7 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
         cp_in.start()
         cp_in.wait()
 
-        tag = b << POS_BITS
+        tag = bt << POS_BITS
 
         def val(p):
             return vsmem[0, p]
@@ -103,82 +108,8 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
         def byte(p):
             return vsmem[0, p] & 0xFF
 
-        def copy_lit4(dst, src, end):
-            """4-wide literal wildcopy (slack lanes absorb the over-copy)."""
-            base = src - dst
-
-            def lit4(k):
-                w = val(base + k)
-                osmem[0, k] = w & 0xFF
-                osmem[0, k + 1] = (w >> 8) & 0xFF
-                osmem[0, k + 2] = (w >> 16) & 0xFF
-                osmem[0, k + 3] = (w >> 24) & 0xFF
-                return k + 4
-            lax.while_loop(lambda k: k < end, lit4, dst)
-
-        def emit_ext(op, extra):
-            """255-run length-extension bytes (value 15 already in token)."""
-            def cond(c):
-                e, _ = c
-                return e >= 255
-
-            def body(c):
-                e, op2 = c
-                osmem[0, op2] = 255
-                return e - 255, op2 + 1
-
-            extra, op = lax.while_loop(cond, body, (extra, op))
-            osmem[0, op] = extra
-            return op + 1
-
-        def emit_seq(op, anchor, litlen, offset, ml_code):
-            """Token + literals + LE16 offset + match-length extension.
-
-            Single straight-line fast path when both lengths fit their
-            nibbles (the common case); one branch to the general emitter.
-            """
-            def fast(op):
-                osmem[0, op] = (litlen << 4) | ml_code
-                op = op + 1
-                lit_end = op + litlen
-                copy_lit4(op, anchor, lit_end)
-                osmem[0, lit_end] = offset & 0xFF
-                osmem[0, lit_end + 1] = offset >> 8
-                return lit_end + 2
-
-            def general(op):
-                tok_lit = jnp.minimum(litlen, 15)
-                tok_ml = jnp.minimum(ml_code, 15)
-                osmem[0, op] = (tok_lit << 4) | tok_ml
-                op = op + 1
-                op = lax.cond(litlen >= 15,
-                              lambda o: emit_ext(o, litlen - 15),
-                              lambda o: o, op)
-                lit_end = op + litlen
-                copy_lit4(op, anchor, lit_end)
-                op = lit_end
-                osmem[0, op] = offset & 0xFF
-                osmem[0, op + 1] = offset >> 8
-                op = op + 2
-                op = lax.cond(ml_code >= 15,
-                              lambda o: emit_ext(o, ml_code - 15),
-                              lambda o: o, op)
-                return op
-
-            return lax.cond(jnp.logical_and(litlen < 15, ml_code < 15),
-                            fast, general, op)
-
-        def emit_final(op, anchor):
-            litlen = n - anchor
-            tok_lit = jnp.minimum(litlen, 15)
-            osmem[0, op] = tok_lit << 4
-            op = op + 1
-            op = lax.cond(litlen >= 15,
-                          lambda o: emit_ext(o, litlen - 15),
-                          lambda o: o, op)
-            lit_end = op + litlen
-            copy_lit4(op, anchor, lit_end)
-            return lit_end
+        copy_lit4, emit_ext, emit_seq, _emit_final = \
+            make_emitters(val, osmem)
 
         mflimit = n - 12      # last position a match may start (inclusive)
         matchlimit = n - 5    # matches may extend up to here (exclusive)
@@ -230,7 +161,7 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
             # stale-entry probes never index outside the SMEM row
             qc = jnp.minimum(q, NS - 1)
             good = jnp.logical_and(
-                (e >> POS_BITS) == b,
+                (e >> POS_BITS) == bt,
                 jnp.logical_and(ip - q <= 65535, val(qc) == val(ip)))
 
             def no_match(ip, op, anchor, scnt):
@@ -251,7 +182,7 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
         ip, op, anchor, _ = lax.while_loop(
             lambda s: jnp.logical_and(run, main_cond(s)), main_body, init)
 
-        op = emit_final(op, anchor)
+        op = _emit_final(op, anchor, n)
         olen_ref[b] = op
 
         cp_out = pltpu.make_async_copy(osmem.at[:, 0:M], out_hbm.at[b],
@@ -371,63 +302,8 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
         def byte(p):
             return vsmem[0, p - base] & 0xFF
 
-        def copy_lit4(dst, src, end):
-            off = src - base - dst
-
-            def lit4(j):
-                w = vsmem[0, off + j]
-                osmem[0, j] = w & 0xFF
-                osmem[0, j + 1] = (w >> 8) & 0xFF
-                osmem[0, j + 2] = (w >> 16) & 0xFF
-                osmem[0, j + 3] = (w >> 24) & 0xFF
-                return j + 4
-            lax.while_loop(lambda j: j < end, lit4, dst)
-
-        def emit_ext(op, extra):
-            def cond(c):
-                e, _ = c
-                return e >= 255
-
-            def body(c):
-                e, op2 = c
-                osmem[0, op2] = 255
-                return e - 255, op2 + 1
-
-            extra, op = lax.while_loop(cond, body, (extra, op))
-            osmem[0, op] = extra
-            return op + 1
-
-        def emit_seq(op, anchor, litlen, offset, ml_code):
-            def fast(op):
-                osmem[0, op] = (litlen << 4) | ml_code
-                op = op + 1
-                lit_end = op + litlen
-                copy_lit4(op, anchor, lit_end)
-                osmem[0, lit_end] = offset & 0xFF
-                osmem[0, lit_end + 1] = offset >> 8
-                return lit_end + 2
-
-            def general(op):
-                tok_lit = jnp.minimum(litlen, 15)
-                tok_ml = jnp.minimum(ml_code, 15)
-                osmem[0, op] = (tok_lit << 4) | tok_ml
-                op = op + 1
-                op = lax.cond(litlen >= 15,
-                              lambda o: emit_ext(o, litlen - 15),
-                              lambda o: o, op)
-                lit_end = op + litlen
-                copy_lit4(op, anchor, lit_end)
-                op = lit_end
-                osmem[0, op] = offset & 0xFF
-                osmem[0, op + 1] = offset >> 8
-                op = op + 2
-                op = lax.cond(ml_code >= 15,
-                              lambda o: emit_ext(o, ml_code - 15),
-                              lambda o: o, op)
-                return op
-
-            return lax.cond(jnp.logical_and(litlen < 15, ml_code < 15),
-                            fast, general, op)
+        copy_lit4, emit_ext, emit_seq, _emit_final = \
+            make_emitters(val, osmem)
 
         n_end = start + n           # global end of this block
         mflimit = n_end - 12
@@ -443,17 +319,6 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
                 return 0
             lax.fori_loop(0, jnp.maximum((prefix - 4) // 3 + 1, 0), ins, 0)
 
-        def emit_final(op, anchor):
-            litlen = n_end - anchor
-            tok_lit = jnp.minimum(litlen, 15)
-            osmem[0, op] = tok_lit << 4
-            op = op + 1
-            op = lax.cond(litlen >= 15,
-                          lambda o: emit_ext(o, litlen - 15),
-                          lambda o: o, op)
-            lit_end = op + litlen
-            copy_lit4(op, anchor, lit_end)
-            return lit_end
 
         def with_match(ip, op, anchor, q):
             def bcond(c):
@@ -518,7 +383,7 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
         ip, op, anchor, _ = lax.while_loop(
             lambda st: jnp.logical_and(run, main_cond(st)), main_body, init)
 
-        op = emit_final(op, anchor)
+        op = _emit_final(op, anchor, n_end)
         olen_ref[s * nb + k] = jnp.where(n > 0, op, 0)
 
         cp_out = pltpu.make_async_copy(osmem.at[:, 0:M], out_hbm.at[s, k],

@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import on_cpu
+from .emit import make_emitters
 from ..spec import compress_bound
 
 HASH_LOG = 15                 # lz4hc.c:83 HASH_LOG 15
@@ -54,8 +55,10 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
                vsmem, osmem, htab, chain, sem_in, sem_out):
         b = pl.program_id(0)
         n = slen_ref[b]
+        # wrap tags at 8192 blocks and re-zero on wrap (int32 overflow)
+        bt = b & 8191
 
-        @pl.when(b == 0)
+        @pl.when(bt == 0)
         def _zero():
             def z(i, _):
                 htab[i] = -1
@@ -67,7 +70,7 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
         cp_in.start()
         cp_in.wait()
 
-        tag = b << POS_BITS
+        tag = bt << POS_BITS
 
         def val(p):
             return vsmem[0, p]
@@ -82,7 +85,7 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
             h = _hash4(val(p))
             e = htab[h]
             prev = e & POS_MASK
-            fresh = jnp.logical_and((e >> POS_BITS) == b, e >= 0)
+            fresh = jnp.logical_and((e >> POS_BITS) == bt, e >= 0)
             already = jnp.logical_and(fresh, prev == p)
             delta = jnp.where(fresh, jnp.clip(p - prev, 1, 65535),
                               jnp.int32(65535))
@@ -117,7 +120,7 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
             h = _hash4(val(p))
             e = htab[h]
             cand0 = e & POS_MASK
-            fresh = jnp.logical_and((e >> POS_BITS) == b, e >= 0)
+            fresh = jnp.logical_and((e >> POS_BITS) == bt, e >= 0)
             cand0 = jnp.where(fresh, cand0, p)  # p = sentinel: stops walk
 
             def cond(st):
@@ -162,64 +165,9 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
             insert(p)
             return bs_, bf, bp
 
-        # --- emission (same wire code as the fast kernel) ---------------
-
-        def copy_lit4(dst, src, end):
-            off = src - dst
-
-            def lit4(k):
-                w = val(off + k)
-                osmem[0, k] = w & 0xFF
-                osmem[0, k + 1] = (w >> 8) & 0xFF
-                osmem[0, k + 2] = (w >> 16) & 0xFF
-                osmem[0, k + 3] = (w >> 24) & 0xFF
-                return k + 4
-            lax.while_loop(lambda k: k < end, lit4, dst)
-
-        def emit_ext(op, extra):
-            def cond(c):
-                e, _ = c
-                return e >= 255
-
-            def body(c):
-                e, op2 = c
-                osmem[0, op2] = 255
-                return e - 255, op2 + 1
-
-            extra, op = lax.while_loop(cond, body, (extra, op))
-            osmem[0, op] = extra
-            return op + 1
-
-        def emit_seq(op, anchor, litlen, offset, ml_code):
-            tok_lit = jnp.minimum(litlen, 15)
-            tok_ml = jnp.minimum(ml_code, 15)
-            osmem[0, op] = (tok_lit << 4) | tok_ml
-            op = op + 1
-            op = lax.cond(litlen >= 15,
-                          lambda o: emit_ext(o, litlen - 15),
-                          lambda o: o, op)
-            lit_end = op + litlen
-            copy_lit4(op, anchor, lit_end)
-            op = lit_end
-            osmem[0, op] = offset & 0xFF
-            osmem[0, op + 1] = offset >> 8
-            op = op + 2
-            op = lax.cond(ml_code >= 15,
-                          lambda o: emit_ext(o, ml_code - 15),
-                          lambda o: o, op)
-            return op
-
-        def emit_final(op, anchor):
-            litlen = n - anchor
-            tok_lit = jnp.minimum(litlen, 15)
-            osmem[0, op] = tok_lit << 4
-            op = op + 1
-            op = lax.cond(litlen >= 15,
-                          lambda o: emit_ext(o, litlen - 15),
-                          lambda o: o, op)
-            lit_end = op + litlen
-            copy_lit4(op, anchor, lit_end)
-            return lit_end
+        # emission: shared wire-format emitters (kernels/emit.py)
+        copy_lit4, emit_ext, emit_seq, _emit_final = \
+            make_emitters(val, osmem)
 
         # --- main lazy loop ---------------------------------------------
 
@@ -284,7 +232,7 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
         ip, op, anchor = lax.while_loop(
             lambda st: jnp.logical_and(run, st[0] <= mflimit), main_body,
             (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-        op = emit_final(op, anchor)
+        op = _emit_final(op, anchor, n)
         olen_ref[b] = op
 
         cp_out = pltpu.make_async_copy(osmem.at[:, 0:M], out_hbm.at[b],

@@ -148,10 +148,8 @@ def compress_frame_mesh(mesh: Mesh, data: bytes,
     lengths come back with the rows (the all-gather is the shard_map
     output resharding) and the host concatenates payloads in frame order.
     """
-    from ..frame import FramePreferences, encode_frame_header
-    from ..ops.xxhash_native import xxh32 as xxh32_fast
-    from .. import spec
-    import struct
+    from ..frame import FramePreferences
+    from ..tpu import assemble_linked_frame, linked_val_rows
 
     BS = 65536
     data = bytes(data)
@@ -159,24 +157,12 @@ def compress_frame_mesh(mesh: Mesh, data: bytes,
     nb_total = max(1, -(-len(data) // BS))
     NB = -(-nb_total // D)
     S = D
-    rows = np.zeros((S, NB, 2 * BS), np.uint8)
-    lens = np.zeros((S, NB), np.int32)
+    val, lens = linked_val_rows(data, S, NB)
     prefix = np.zeros((S,), np.int32)
-    for g in range(nb_total):
-        s, k = g // NB, g % NB
-        lo, hi = (g - 1) * BS, (g + 1) * BS
-        chunk = data[max(lo, 0):hi]
-        ofs = 0 if lo >= 0 else BS
-        rows[s, k, ofs:ofs + len(chunk)] = np.frombuffer(chunk, np.uint8)
-        lens[s, k] = min(BS, len(data) - g * BS)
     for s in range(1, S):
         if lens[s, 0] > 0:
             prefix[s] = BS
-    w = rows.reshape(S * NB, 2 * BS // 4, 4).astype(np.uint32)
-    packed = (w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
-              | (w[..., 3] << 24)).astype(np.int32)
-    val = bytes_to_val32_rows(jnp.asarray(packed), 2 * BS)
-    val = shard_rows(mesh, val.reshape(S, NB, 2 * BS))
+    val = shard_rows(mesh, val)
     out, olen = encode_linked_sharded(mesh, val, jnp.asarray(lens),
                                       jnp.asarray(prefix), acceleration)
     out, olen = np.asarray(out), np.asarray(olen)
@@ -184,23 +170,9 @@ def compress_frame_mesh(mesh: Mesh, data: bytes,
     prefs = FramePreferences(block_size_id=4, block_independent=False,
                              content_checksum=content_checksum,
                              content_size=len(data))
-    parts = [encode_frame_header(prefs)]
-    pos = 0
-    for g in range(nb_total):
-        s, k = g // NB, g % NB
-        blen = int(lens[s, k])
-        if blen == 0:
-            continue
-        clen = int(olen[s, k])
-        if clen >= blen:
-            payload = data[pos:pos + blen]
-            parts.append(struct.pack("<I", blen | spec.UNCOMPRESSED_BIT))
-        else:
-            payload = out[s, k, :clen].astype(np.uint8).tobytes()
-            parts.append(struct.pack("<I", clen))
-        parts.append(payload)
-        pos += blen
-    parts.append(struct.pack("<I", 0))
-    if content_checksum:
-        parts.append(struct.pack("<I", xxh32_fast(data, 0)))
-    return b"".join(parts)
+    flat_olen = olen.reshape(-1)
+    flat_out = out.reshape(S * NB, -1)
+    payloads = [flat_out[g, :flat_olen[g]].astype(np.uint8).tobytes()
+                for g in range(nb_total)]
+    return assemble_linked_frame(data, prefs, payloads,
+                                 [int(x) for x in lens.reshape(-1)[:nb_total]])

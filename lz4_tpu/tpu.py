@@ -88,6 +88,59 @@ def decode_batch(comp_list: List[bytes], out_cap: int,
 # frame pipeline
 # ---------------------------------------------------------------------------
 
+def linked_val_rows(data: bytes, S: int, NB: int):
+    """Build the streaming kernel's input for a stream split into S x NB
+    64 KB blocks (global block g -> row (g // NB, g % NB)): each row holds
+    the stream's bytes [(g-1)*64K, (g+1)*64K) as val32 lanes, zero padded
+    at the front of block 0 and past the stream tail.
+
+    Returns (val [S, NB, 131072] jnp int32, lens [S, NB] np int32).
+    """
+    BS = spec.WINDOW_SIZE
+    nb_total = max(1, -(-len(data) // BS))
+    assert nb_total <= S * NB
+    rows = np.zeros((S, NB, 2 * BS), np.uint8)
+    lens = np.zeros((S, NB), np.int32)
+    for g in range(nb_total):
+        sk, k = g // NB, g % NB
+        lo, hi = (g - 1) * BS, (g + 1) * BS
+        chunk = data[max(lo, 0):hi]
+        ofs = 0 if lo >= 0 else BS
+        rows[sk, k, ofs:ofs + len(chunk)] = np.frombuffer(chunk, np.uint8)
+        lens[sk, k] = min(BS, len(data) - g * BS)
+    w = rows.reshape(S * NB, 2 * BS // 4, 4).astype(np.uint32)
+    packed = (w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
+              | (w[..., 3] << 24)).astype(np.int32)
+    val = bytes_to_val32_rows(jnp.asarray(packed), 2 * BS)
+    return val.reshape(S, NB, 2 * BS), lens
+
+
+def assemble_linked_frame(data: bytes, prefs: FramePreferences,
+                          payloads, block_lens) -> bytes:
+    """Header + per-block payloads (stored fallback, lz4frame.c:518-524)
+    + endmark + optional checksums, for a linked chain in stream order."""
+    parts = [encode_frame_header(prefs)]
+    pos = 0
+    for payload, blen in zip(payloads, block_lens):
+        if blen == 0:
+            continue
+        if len(payload) >= blen:
+            # the next block's window is the plaintext either way
+            payload = data[pos:pos + blen]
+            header = struct.pack("<I", blen | spec.UNCOMPRESSED_BIT)
+        else:
+            header = struct.pack("<I", len(payload))
+        parts.append(header)
+        parts.append(payload)
+        if prefs.block_checksum:
+            parts.append(struct.pack("<I", xxh32_fast(payload, 0)))
+        pos += blen
+    parts.append(struct.pack("<I", 0))
+    if prefs.content_checksum:
+        parts.append(struct.pack("<I", xxh32_fast(data, 0)))
+    return b"".join(parts)
+
+
 def encode_stream_linked(data: bytes, acceleration: int = 1):
     """Compress one stream as a chain of linked 64 KB blocks on device.
 
@@ -95,23 +148,10 @@ def encode_stream_linked(data: bytes, acceleration: int = 1):
     plaintext lengths, with LZ4_compress_fast_continue window semantics
     (each block may match into the previous block).
     """
-    BS = spec.WINDOW_SIZE
     data = bytes(data)
-    nb = max(1, -(-len(data) // BS))
-    rows = np.zeros((nb, 2 * BS), np.uint8)
-    lens = np.zeros((1, nb), np.int32)
-    for k in range(nb):
-        lo, hi = (k - 1) * BS, (k + 1) * BS
-        chunk = data[max(lo, 0):hi]
-        rows[k, (0 if lo >= 0 else BS):(0 if lo >= 0 else BS) + len(chunk)] \
-            = np.frombuffer(chunk, np.uint8)
-        lens[0, k] = min(BS, len(data) - k * BS)
-    packed = (rows.reshape(nb, 2 * BS // 4, 4).astype(np.uint32))
-    packed = (packed[..., 0] | (packed[..., 1] << 8)
-              | (packed[..., 2] << 16) | (packed[..., 3] << 24)).astype(np.int32)
-    val = bytes_to_val32_rows(jnp.asarray(packed), 2 * BS)
-    out, olen = encode_blocks_linked(val.reshape(1, nb, 2 * BS),
-                                     jnp.asarray(lens), acceleration)
+    nb = max(1, -(-len(data) // spec.WINDOW_SIZE))
+    val, lens = linked_val_rows(data, 1, nb)
+    out, olen = encode_blocks_linked(val, jnp.asarray(lens), acceleration)
     out, olen = np.asarray(out[0]), np.asarray(olen[0])
     payloads = [out[k, :olen[k]].astype(np.uint8).tobytes()
                 for k in range(nb)]
@@ -183,27 +223,7 @@ def _compress_frame_device_linked(data: bytes, prefs: FramePreferences,
 
     data = bytes(data)
     payloads, block_lens = encode_stream_linked(data, acceleration)
-    parts = [encode_frame_header(prefs)]
-    pos = 0
-    for payload, blen in zip(payloads, block_lens):
-        if blen == 0:
-            continue
-        if len(payload) >= blen:
-            # stored-block fallback (lz4frame.c:518-524); the next block's
-            # window is the plaintext either way
-            payload = data[pos:pos + blen]
-            header = struct.pack("<I", blen | spec.UNCOMPRESSED_BIT)
-        else:
-            header = struct.pack("<I", len(payload))
-        parts.append(header)
-        parts.append(payload)
-        if prefs.block_checksum:
-            parts.append(struct.pack("<I", xxh32_fast(payload, 0)))
-        pos += blen
-    parts.append(struct.pack("<I", 0))
-    if prefs.content_checksum:
-        parts.append(struct.pack("<I", xxh32_fast(data, 0)))
-    return b"".join(parts)
+    return assemble_linked_frame(data, prefs, payloads, block_lens)
 
 
 def _literal_block(payload: bytes) -> bytes:
@@ -295,12 +315,13 @@ def decompress_frame_device(frame: bytes) -> Tuple[bytes, int]:
         out, olen = decode_blocks_linked(jnp.asarray(arr),
                                          jnp.asarray(lens), bs)
         out, olen = np.asarray(out), np.asarray(olen)
-        if (olen < 0).any():
-            bad = int(np.nonzero(olen < 0)[0][0])
-            raise Lz4FrameError(f"device decode failed on block {bad}")
-        if (olen[:-1] != bs).any():
-            # partial non-final block: window would be misaligned; the
-            # host frame codec handles this (legal but unusual) layout
+        if (olen < 0).any() or (olen[:-1] != bs).any():
+            # A partial (flushed) non-final block is legal LZ4F but breaks
+            # the kernel's one-block-window contract — successors then see
+            # an empty window and report -1, so the errors and the layout
+            # check must BOTH route here.  The host codec tracks the true
+            # cumulative 64KB window and also gives precise errors for
+            # genuinely corrupt frames.
             d = FrameDecompressor()
             used, content = d.feed(frame)
             if not d.finished:

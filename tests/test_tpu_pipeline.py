@@ -241,3 +241,17 @@ def test_compress_frame_mesh_single_linked_frame():
     # and the device chain decoder reads it back too
     out2, _ = decompress_frame_device(frame)
     assert out2 == data
+
+
+def test_device_linked_partial_middle_block_falls_back():
+    """A flushed (partial, non-final) block is legal LZ4F but breaks the
+    kernel's one-block-window contract; decompress_frame_device must fall
+    back to the host codec rather than raise (found by review)."""
+    from lz4_tpu.frame import FrameCompressor
+    seg = gen_buffer(65536 + 30000, 0.7, 321)
+    prefs = FramePreferences(block_size_id=4, block_independent=False,
+                             content_checksum=True)
+    c = FrameCompressor(prefs)
+    frame = c.begin() + c.update(seg) + c.flush() + c.update(seg) + c.end()
+    out, used = decompress_frame_device(frame)
+    assert out == seg + seg and used == len(frame)
