@@ -165,14 +165,14 @@ def compress_frame_mesh(mesh: Mesh, data: bytes,
     val = shard_rows(mesh, val)
     out, olen = encode_linked_sharded(mesh, val, jnp.asarray(lens),
                                       jnp.asarray(prefix), acceleration)
-    out, olen = np.asarray(out), np.asarray(olen)
+    from ..tpu import fetch_byte_rows
+    outb = fetch_byte_rows(out.reshape(S * NB, out.shape[-1]))
+    olen = np.asarray(olen)
 
     prefs = FramePreferences(block_size_id=4, block_independent=False,
                              content_checksum=content_checksum,
                              content_size=len(data))
     flat_olen = olen.reshape(-1)
-    flat_out = out.reshape(S * NB, -1)
-    payloads = [flat_out[g, :flat_olen[g]].astype(np.uint8).tobytes()
-                for g in range(nb_total)]
+    payloads = [outb[g, :flat_olen[g]].tobytes() for g in range(nb_total)]
     return assemble_linked_frame(data, prefs, payloads,
                                  [int(x) for x in lens.reshape(-1)[:nb_total]])

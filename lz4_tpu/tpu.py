@@ -26,13 +26,33 @@ import numpy as np
 from . import spec
 from .frame import FrameDecompressor, FrameInfo, FramePreferences, \
     Lz4FrameError, decode_frame_header, encode_frame_header
-from .kernels.common import np_pack_rows
+from .kernels.common import bytes_to_i32_rows, i32_rows_to_bytes, \
+    np_pack_rows
 from .kernels.decode_kernel import decode_blocks, decode_blocks_linked
 from .kernels.encode_kernel import bytes_to_val32_rows, encode_blocks, \
     encode_blocks_linked
 from .ops.xxhash_native import xxh32 as xxh32_fast
 
 BLOCK = 65536  # device-path block granularity
+
+
+def fetch_byte_rows(rows_i32) -> np.ndarray:
+    """Fetch [B, M] int32 byte lanes from device as uint8, packing to real
+    bytes on-device first: the host link moves 4x less data.
+
+    M must be a multiple of 4 (all kernel row widths are 128-aligned).
+    """
+    packed = i32_rows_to_bytes(rows_i32)
+    pn = np.ascontiguousarray(np.asarray(packed).astype('<i4', copy=False))
+    return pn.view(np.uint8).reshape(pn.shape[0], -1)
+
+
+def upload_byte_rows(arr_u8: np.ndarray):
+    """Upload [B, M] uint8 rows as packed words, unpacking to int32 byte
+    lanes on-device (4x less link traffic than uploading int32 bytes)."""
+    B, M = arr_u8.shape
+    packed = np.ascontiguousarray(arr_u8).view('<i4')
+    return bytes_to_i32_rows(jnp.asarray(packed), M)
 
 
 def _split_blocks(data: bytes, block_size: int) -> List[bytes]:
@@ -55,7 +75,7 @@ def encode_batch(buffers: List[bytes], block_size: int = BLOCK,
     packed, lens = np_pack_rows(buffers, block_size)
     val = bytes_to_val32_rows(jnp.asarray(packed), block_size)
     out, olen = encode_blocks(val, jnp.asarray(lens), acceleration)
-    return np.asarray(out), np.asarray(olen)
+    return fetch_byte_rows(out), np.asarray(olen)
 
 
 def decode_batch(comp_list: List[bytes], out_cap: int,
@@ -67,7 +87,7 @@ def decode_batch(comp_list: List[bytes], out_cap: int,
     M = max((len(c) for c in comp_list), default=1)
     M = -(-max(M, 1) // 128) * 128
     B = len(comp_list)
-    arr = np.zeros((B, M), np.int32)
+    arr = np.zeros((B, M), np.uint8)
     lens = np.zeros((B,), np.int32)
     for i, c in enumerate(comp_list):
         arr[i, :len(c)] = np.frombuffer(bytes(c), np.uint8)
@@ -75,13 +95,20 @@ def decode_batch(comp_list: List[bytes], out_cap: int,
     caps = None
     if out_lens is not None:
         caps = jnp.asarray(np.asarray(out_lens, np.int32))
-    out, olen = decode_blocks(jnp.asarray(arr), jnp.asarray(lens), out_cap,
-                              out_caps=caps)
-    out, olen = np.asarray(out), np.asarray(olen)
+    out, olen = decode_blocks(upload_byte_rows(arr), jnp.asarray(lens),
+                              out_cap, out_caps=caps)
+    cap4 = out_cap - out_cap % 4  # packed fetch needs 4-byte multiples
+    outb = fetch_byte_rows(out[:, :cap4])
+    olen = np.asarray(olen)
     if (olen < 0).any():
         bad = int(np.nonzero(olen < 0)[0][0])
         raise Lz4FrameError(f"device decode failed on block {bad}")
-    return [bytes(out[i, :olen[i]].astype(np.uint8)) for i in range(B)]
+    if cap4 == out_cap:
+        return [bytes(outb[i, :olen[i]]) for i in range(B)]
+    tail = np.asarray(out[:, cap4:])
+    return [bytes(outb[i, :min(olen[i], cap4)])
+            + bytes(tail[i, :max(olen[i] - cap4, 0)].astype(np.uint8))
+            for i in range(B)]
 
 
 # ---------------------------------------------------------------------------
@@ -152,9 +179,9 @@ def encode_stream_linked(data: bytes, acceleration: int = 1):
     nb = max(1, -(-len(data) // spec.WINDOW_SIZE))
     val, lens = linked_val_rows(data, 1, nb)
     out, olen = encode_blocks_linked(val, jnp.asarray(lens), acceleration)
-    out, olen = np.asarray(out[0]), np.asarray(olen[0])
-    payloads = [out[k, :olen[k]].astype(np.uint8).tobytes()
-                for k in range(nb)]
+    outb = fetch_byte_rows(out[0])
+    olen = np.asarray(olen[0])
+    payloads = [outb[k, :olen[k]].tobytes() for k in range(nb)]
     return payloads, [int(lens[0, k]) for k in range(nb)]
 
 
@@ -307,14 +334,14 @@ def decompress_frame_device(frame: bytes) -> Tuple[bytes, int]:
             return content, used
         M = -(-max(len(c) for c in payloads) // 128) * 128
         B = len(payloads)
-        arr = np.zeros((B, M), np.int32)
+        arr = np.zeros((B, M), np.uint8)
         lens = np.zeros((B,), np.int32)
         for i, c in enumerate(payloads):
             arr[i, :len(c)] = np.frombuffer(bytes(c), np.uint8)
             lens[i] = len(c)
-        out, olen = decode_blocks_linked(jnp.asarray(arr),
+        out, olen = decode_blocks_linked(upload_byte_rows(arr),
                                          jnp.asarray(lens), bs)
-        out, olen = np.asarray(out), np.asarray(olen)
+        out, olen = fetch_byte_rows(out), np.asarray(olen)
         if (olen < 0).any() or (olen[:-1] != bs).any():
             # A partial (flushed) non-final block is legal LZ4F but breaks
             # the kernel's one-block-window contract — successors then see
