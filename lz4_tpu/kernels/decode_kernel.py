@@ -43,6 +43,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -52,18 +53,33 @@ from .common import on_cpu
 ERR_MALFORMED = -1
 
 
-def _make_decode_kernel(M: int, N: int, P: int, linked: bool = False):
+def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
+    """mode: 'batch' (independent blocks, optional per-block dicts),
+    'linked' (full-block chains, window = previous block's output), or
+    'sg' (scatter-gather chains: outputs land at arbitrary byte offsets
+    of ONE continuous HBM space; the window is the preceding 64 KB of
+    that space, realigned on entry, and the block's output is written
+    back byte-shifted to its global offset — lz4sg.c:536-695 semantics
+    with the iovec walking on the host)."""
     MR = M // 128
     PR = P // 128
     NR = N // 128
     OUT0 = 1 + PR          # first output row in the out scratch
     OBASE = 128 * PR       # address offset of output byte 0 in out space
+    linked = mode == "linked"
+    sg = mode == "sg"
 
     def kernel(clen_ref, plen_ref, ocap_ref, vals2d_hbm, vals3d_hbm,
                dict_hbm, out_hbm, olen_ref, vsmem, cvmem, ovmem,
-               sem_s, sem_v, sem_d, sem_o):
+               *rest):
+        if sg:
+            stage, sem_s, sem_v, sem_d, sem_o = rest
+        else:
+            sem_s, sem_v, sem_d, sem_o = rest
         b = pl.program_id(0)
         n = clen_ref[b]
+        lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        ZERO = jnp.zeros((1, 128), jnp.int32)
         if linked:
             # chain mode: the window is the previous block's full output
             # (LZ4F linked frames emit full blocks except the last, so a
@@ -72,11 +88,14 @@ def _make_decode_kernel(M: int, N: int, P: int, linked: bool = False):
             prev_full = jnp.logical_and(
                 b > 0, olen_ref[jnp.maximum(b - 1, 0)] == N)
             plen = jnp.where(prev_full, P, 0)
+        elif sg:
+            # plen_ref carries the cumulative output offset per block;
+            # the continuous HBM space has a 512-row (64 KB) zero lead
+            cum = plen_ref[b]
+            plen = jnp.minimum(cum, P)
         else:
             plen = plen_ref[b]
         olim = jnp.minimum(ocap_ref[b], N)
-        lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        ZERO = jnp.zeros((1, 128), jnp.int32)
 
         cp_s = pltpu.make_async_copy(vals2d_hbm.at[b], vsmem, sem_s)
         cp_s.start()
@@ -93,6 +112,20 @@ def _make_decode_kernel(M: int, N: int, P: int, linked: bool = False):
                                              sem_d)
                 cp_d.start()
                 cp_d.wait()
+        elif sg:
+            # window bytes live at HBM bytes [cum, cum + 64K) (the lead
+            # pad absorbs cum < 64K); realign so the window ENDS at the
+            # local dict/out boundary: two whole-array vector ops
+            f = cum >> 7
+            s_ = cum & 127
+            cp_d = pltpu.make_async_copy(out_hbm.at[pl.ds(f, PR + 1), :],
+                                         stage.at[pl.ds(0, PR + 1), :],
+                                         sem_d)
+            cp_d.start()
+            cp_d.wait()
+            rot = pltpu.roll(stage[0:PR + 1, :], -s_, axis=1)
+            ovmem[pl.ds(1, PR), :] = jnp.where(lane < 128 - s_,
+                                               rot[0:PR], rot[1:PR + 1])
         elif P:
             cp_d = pltpu.make_async_copy(dict_hbm.at[b],
                                          ovmem.at[pl.ds(1, PR), :], sem_d)
@@ -303,10 +336,32 @@ def _make_decode_kernel(M: int, N: int, P: int, linked: bool = False):
         ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
         olen_ref[b] = jnp.where(status == 1, opos, ERR_MALFORMED)
 
-        cp_out = pltpu.make_async_copy(ovmem.at[pl.ds(OUT0, NR), :],
-                                       out_hbm.at[b], sem_o)
-        cp_out.start()
-        cp_out.wait()
+        if sg:
+            # write the block's bytes to HBM shifted to its global byte
+            # offset; the first row merges with the predecessor's tail
+            g0 = (cum >> 7) + PR
+            s_ = cum & 127
+            cp_b = pltpu.make_async_copy(out_hbm.at[pl.ds(g0, 1), :],
+                                         stage.at[NR + 1:NR + 2, :], sem_d)
+            cp_b.start()
+            cp_b.wait()
+            R = pltpu.roll(ovmem[pl.ds(OUT0, NR), :], s_, axis=1)
+            stage[0:1, :] = jnp.where(lane >= s_, R[0:1],
+                                      stage[NR + 1:NR + 2, :])
+            if NR > 1:
+                stage[pl.ds(1, NR - 1), :] = jnp.where(
+                    lane >= s_, R[1:NR], R[0:NR - 1])
+            stage[NR:NR + 1, :] = R[NR - 1:NR]
+            cp_out = pltpu.make_async_copy(
+                stage.at[pl.ds(0, NR + 1), :],
+                out_hbm.at[pl.ds(g0, NR + 1), :], sem_o)
+            cp_out.start()
+            cp_out.wait()
+        else:
+            cp_out = pltpu.make_async_copy(ovmem.at[pl.ds(OUT0, NR), :],
+                                           out_hbm.at[b], sem_o)
+            cp_out.start()
+            cp_out.wait()
 
     return kernel
 
@@ -346,7 +401,7 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
         ],
     )
     out, olen = pl.pallas_call(
-        _make_decode_kernel(M, N, P, linked),
+        _make_decode_kernel(M, N, P, "linked" if linked else "batch"),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
@@ -357,6 +412,91 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
     )(clen, plen, ocap, vals.reshape(B, 1, M), vals.reshape(B, MR, 128),
       dict_rows)
     return out.reshape(B, N), olen
+
+
+@functools.partial(jax.jit, static_argnames=("M", "N", "TOTR", "interpret"))
+def _decode_blocks_sg(comp, clen, cum, ocap, *, M, N, TOTR, interpret):
+    B = comp.shape[0]
+    MR, NR = M // 128, N // 128
+    P = 65536
+    PR = P // 128
+    c = comp.astype(jnp.int32)
+    vals = (c
+            | (jnp.roll(c, -1, axis=1) << 8)
+            | (jnp.roll(c, -2, axis=1) << 16)
+            | (jnp.roll(c, -3, axis=1) << 24))
+    dict_rows = jnp.zeros((B, 1, 128), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, M), jnp.int32),
+            pltpu.VMEM((MR + 2, 128), jnp.int32),
+            pltpu.VMEM((2 + PR + NR, 128), jnp.int32),
+            pltpu.VMEM((PR + NR + 2, 128), jnp.int32),   # stage
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out, olen = pl.pallas_call(
+        _make_decode_kernel(M, N, P, "sg"),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((TOTR, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(clen, cum, ocap, vals.reshape(B, 1, M), vals.reshape(B, MR, 128),
+      dict_rows)
+    return out, olen
+
+
+def decode_blocks_sg(comp_bytes_i32: jax.Array, comp_lens: jax.Array,
+                     out_sizes):
+    """Decode a scatter-gather chain: block k's output lands at byte
+    offset sum(out_sizes[:k]) of ONE continuous space, and its window is
+    the preceding 64 KB of that space regardless of block boundaries
+    (LZ4_decompress_fast_sg_extState semantics, lz4sg.c:536-695; the
+    host walks the iovec list and supplies clean per-block payloads).
+
+    Args:
+      comp_bytes_i32: [B, M] int32 bytes (payloads, chain order).
+      comp_lens: [B] int32 payload lengths.
+      out_sizes: python list of expected decoded sizes (each <= 64KB).
+
+    Returns (out [TOTR, 128] int32 device array whose byte stream starting
+    at byte 65536 is the continuous content, olen [B]).
+    """
+    B, M = comp_bytes_i32.shape
+    if M % 128:
+        pad = 128 - M % 128
+        comp_bytes_i32 = jnp.pad(comp_bytes_i32, ((0, 0), (0, pad)))
+        M += pad
+    sizes = [int(x) for x in out_sizes]
+    if any(x > 65536 for x in sizes):
+        raise ValueError("sg kernel blocks are limited to 64KB outputs")
+    N = -(-max(max(sizes, default=1), 1) // 128) * 128
+    total = sum(sizes)
+    TOTR = 512 + -(-total // 128) + N // 128 + 2
+    cum = np.zeros((B,), np.int64)
+    if B > 1:
+        cum[1:] = np.cumsum(sizes[:-1])
+    ocap = jnp.asarray(np.asarray(sizes, np.int32))
+    return _decode_blocks_sg(comp_bytes_i32, comp_lens.astype(jnp.int32),
+                             jnp.asarray(cum.astype(np.int32)), ocap,
+                             M=M, N=N, TOTR=TOTR, interpret=on_cpu())
 
 
 def decode_blocks(comp_bytes_i32: jax.Array, comp_lens: jax.Array,

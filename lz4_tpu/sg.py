@@ -282,6 +282,7 @@ def sg_decompress(in_bufs: Sequence[bytes], out_caps: Sequence[int],
                   compressed_size: Optional[int] = None,
                   max_output: Optional[int] = None,
                   block_decompress=None,
+                  use_device: bool = False,
                   ) -> Tuple[int, List[bytes]]:
     """Decompress an SG frame back into a scatter-gather list.
 
@@ -291,6 +292,12 @@ def sg_decompress(in_bufs: Sequence[bytes], out_caps: Sequence[int],
     zero-pad blocks are validated and skipped, and decode stops once the
     embedded content size is produced.
     """
+    if use_device and block_decompress is None:
+        try:
+            return _sg_decompress_device(in_bufs, out_caps,
+                                         compressed_size, max_output)
+        except _SgDeviceUnsupported:
+            pass  # host path below handles every layout
     in_bufs = [bytes(b) for b in in_bufs]
     n_in, n_out = len(in_bufs), len(out_caps)
     if n_in == 0:
@@ -399,3 +406,66 @@ def sg_decompress(in_bufs: Sequence[bytes], out_caps: Sequence[int],
             in_pos += i_used
 
     return total_out, [bytes(b) for b in outs]
+
+
+class _SgDeviceUnsupported(Exception):
+    """Layout outside the device kernel's envelope; take the host path."""
+
+
+def _sg_decompress_device(in_bufs, out_caps, compressed_size, max_output):
+    """Device scatter-gather decode: walk the iovec list once on the host
+    with a collecting stand-in codec (conformant frames fill each slice
+    exactly, lz4sg.h:96-100), then run the whole chain through the
+    continuous-space Pallas kernel and slice the result.
+
+    Falls back (raising _SgDeviceUnsupported) for blocks beyond the
+    kernel's 64KB envelope or when the chain does not decode to the
+    collected sizes (non-conformant frame: host gives exact errors).
+    """
+    import numpy as np
+
+    collected = []
+
+    def collector(comp, out_cap, dict_):
+        if len(comp) == 1 and comp == b"\x00":
+            return b""           # empty block: contributes nothing
+        if out_cap > spec.WINDOW_SIZE or len(comp) > spec.WINDOW_SIZE + 512:
+            raise _SgDeviceUnsupported()
+        collected.append((bytes(comp), out_cap))
+        return b"\x00" * out_cap  # stand-in: conformant blocks fill exactly
+
+    total, _ = sg_decompress(in_bufs, out_caps, compressed_size,
+                             max_output, block_decompress=collector)
+    if not collected:
+        return total, [bytes(bytearray(c)) for c in out_caps]
+
+    import jax.numpy as jnp
+    from .kernels.decode_kernel import decode_blocks_sg
+    from .tpu import fetch_byte_rows
+
+    sizes = [sz for _, sz in collected]
+    if total != sum(sizes):
+        raise _SgDeviceUnsupported()
+    M = -(-max(len(c) for c, _ in collected) // 128) * 128
+    B = len(collected)
+    arr = np.zeros((B, M), np.int32)
+    lens = np.zeros((B,), np.int32)
+    for i, (c, _) in enumerate(collected):
+        arr[i, :len(c)] = np.frombuffer(c, np.uint8)
+        lens[i] = len(c)
+    out, olen = decode_blocks_sg(jnp.asarray(arr), jnp.asarray(lens), sizes)
+    olen = np.asarray(olen)
+    if (olen != np.asarray(sizes, olen.dtype)).any():
+        raise _SgDeviceUnsupported()  # host path re-derives exact errors
+    flat = fetch_byte_rows(out).reshape(-1)
+    content = bytes(flat[spec.WINDOW_SIZE:spec.WINDOW_SIZE + total])
+
+    outs = []
+    pos = 0
+    for cap in out_caps:
+        take = min(cap, max(total - pos, 0))
+        buf = bytearray(cap)
+        buf[:take] = content[pos:pos + take]
+        outs.append(bytes(buf))
+        pos += take
+    return total, outs

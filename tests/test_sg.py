@@ -250,3 +250,58 @@ def test_bound_is_sufficient():
         total, consumed, outs = sg_compress(ins, [bound])
         assert consumed == len(data)
         assert total <= bound
+
+
+# ---------------------------------------------------------------------------
+# device scatter-gather decode (continuous-space chain kernel)
+# ---------------------------------------------------------------------------
+
+def test_device_sg_matches_host_16x4k():
+    data = gen_buffer(16 * 4096, 0.7, 77)
+    ins = split_buffers(data, [4096] * 16)
+    caps = [4096 + 100] * 17
+    total, consumed, outs = sg_compress(ins, caps)
+    assert consumed == len(data)
+    comp_bufs = trim_to_filled(outs, caps, total)
+    sizes = [4096] * 16
+    t_host, outs_host = sg_decompress(comp_bufs, sizes)
+    t_dev, outs_dev = sg_decompress(comp_bufs, sizes, use_device=True)
+    assert t_dev == t_host and outs_dev == outs_host
+    assert b"".join(outs_dev)[:len(data)] == data
+
+
+def test_device_sg_matches_host_ragged():
+    rng = __import__("random").Random(5)
+    data = gen_buffer(150_000, 0.6, 99)
+    sizes, pos = [], 0
+    while pos < len(data):
+        sz = min(rng.randint(1, 50_000), len(data) - pos)
+        sizes.append(sz)
+        pos += sz
+    ins = []
+    pos = 0
+    for sz in sizes:
+        ins.append(data[pos:pos + sz])
+        pos += sz
+    caps = [max(sz + 64, 80) for sz in sizes] + [4096]
+    total, consumed, outs = sg_compress(ins, caps)
+    assert consumed == len(data)
+    comp_bufs = trim_to_filled(outs, caps, total)
+    t_host, outs_host = sg_decompress(comp_bufs, sizes)
+    t_dev, outs_dev = sg_decompress(comp_bufs, sizes, use_device=True)
+    assert t_dev == t_host and outs_dev == outs_host
+
+
+def test_device_sg_decodes_reference_frames():
+    if not oracle.available():
+        pytest.skip("oracle unavailable")
+    data = gen_buffer(16 * 4096, 0.8, 31)
+    ins = [data[i:i + 4096] for i in range(0, len(data), 4096)]
+    caps = [4096] * 17
+    ret, outs, consumed = oracle.ref_sg_compress(ins, caps)
+    assert ret > 0 and consumed == len(data)
+    comp_bufs = trim_to_filled(outs, caps, ret)
+    t_dev, outs_dev = sg_decompress(comp_bufs, [4096] * 16,
+                                    use_device=True)
+    assert t_dev == len(data)
+    assert b"".join(outs_dev)[:len(data)] == data
