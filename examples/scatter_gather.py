@@ -29,6 +29,12 @@ def main():
     n, decoded = sg_decompress(comp_bufs, [len(b) for b in ins])
     assert b"".join(decoded) == data
 
+    # same decode through the device chain kernel (continuous HBM space,
+    # window realigned per block)
+    n_d, decoded_d = sg_decompress(comp_bufs, [len(b) for b in ins],
+                                   use_device=True)
+    assert n_d == n and decoded_d == decoded
+
     # 2) the same bytes are one ordinary LZ4F frame
     out, _ = decompress_frame(b"".join(comp_bufs))
     assert out == data

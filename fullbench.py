@@ -141,6 +141,17 @@ def main():
     declink()
     report("kernels.decode_blocks_linked", n, timeit(declink))
 
+    from lz4_tpu.kernels.decode_kernel import decode_blocks_sg
+
+    # SG chain decode: same payloads, arbitrary output offsets
+    sg_sizes = [int(x) for x in np.asarray(lens)]
+
+    def sgdec():
+        out, ol = decode_blocks_sg(comp_d, clen_d, sg_sizes)
+        np.asarray(ol)
+    sgdec()
+    report("kernels.decode_blocks_sg", n, timeit(sgdec))
+
     hc_n = min(n, 8 * chunk)          # HC is chain-bound: bench a slice
     hc_rows = pd[:hc_n // chunk]
     hc_lens = ld[:hc_n // chunk]

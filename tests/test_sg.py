@@ -160,10 +160,12 @@ def test_fuzzer_style_roundtrip(seed):
     total, consumed, outs = sg_compress(ins, caps)
     assert consumed == total_size, (in_sizes, caps)
     comp_bufs = trim_to_filled(outs, caps, total)
-    # 1) mirrored SG decode
+    # 1) mirrored SG decode, host and device chain kernel
     n, decoded = sg_decompress(comp_bufs, in_sizes)
     assert n == total_size
     assert b"".join(decoded) == data
+    n_d, decoded_d = sg_decompress(comp_bufs, in_sizes, use_device=True)
+    assert n_d == n and decoded_d == decoded
     # 2) plain LZ4F decode of the concatenated frame
     frame = b"".join(comp_bufs)
     out, _ = decompress_frame(frame)
