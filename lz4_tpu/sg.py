@@ -444,8 +444,8 @@ def _sg_decompress_device(in_bufs, out_caps, compressed_size, max_output):
     from .tpu import fetch_byte_rows
 
     sizes = [sz for _, sz in collected]
-    if total != sum(sizes):
-        raise _SgDeviceUnsupported()
+    if total != sum(sizes) or total > (1 << 30):
+        raise _SgDeviceUnsupported()  # int32 offsets in the kernel
     M = -(-max(len(c) for c, _ in collected) // 128) * 128
     B = len(collected)
     arr = np.zeros((B, M), np.int32)
