@@ -301,6 +301,10 @@ def main(argv=None) -> int:
             and not prefs.test_mode and not force_stdout:
         _die("refusing to write compressed data to a terminal; use -c or -f")
 
+    # pass-through: forced decompression of non-LZ4 input copies it verbatim
+    # (reference lz4io.c:946-952 gated on g_overwrite; lz4cat sets it too)
+    prefs.pass_through = decompress and prefs.overwrite
+
     try:
         if decompress:
             r, w = decompress_filename(src, dst, prefs)

@@ -185,14 +185,18 @@ def decompress_stream(src: BinaryIO, dst, prefs: IoPrefs) -> tuple[int, int]:
     use_device = prefs.use_device
     if use_device is None:
         use_device = _device_available()
+    first = True
     while pos < len(buf):
         if len(buf) - pos < 4:
-            if total_out == 0 and not prefs.pass_through:
-                raise Lz4FrameError("input too short")
-            if prefs.pass_through:
+            if first and prefs.pass_through:
                 dst.write(buf[pos:])
                 total_out += len(buf) - pos
-            pos = len(buf)
+                pos = len(buf)
+                break
+            if first:
+                raise Lz4FrameError("input too short")
+            # trailing garbage after a valid stream: stop without error
+            # (lz4io.c:948-952 "Stream followed by unrecognized data")
             break
         magic = struct.unpack_from("<I", buf, pos)[0]
         if magic == spec.FRAME_MAGIC:
@@ -211,12 +215,18 @@ def decompress_stream(src: BinaryIO, dst, prefs: IoPrefs) -> tuple[int, int]:
             size = struct.unpack_from("<I", buf, pos + 4)[0]
             pos += 8 + size
         else:
-            if prefs.pass_through and total_out == 0:
+            # unknown magic: pass the whole input through when forced on
+            # the FIRST stream (lz4io.c:946-952 pass-through contract);
+            # after a valid stream, stop without error
+            if first and prefs.pass_through:
                 dst.write(buf[pos:])
                 total_out += len(buf) - pos
                 pos = len(buf)
-            else:
+            elif first:
                 raise Lz4FrameError(f"unrecognized header {magic:#010x}")
+            else:
+                break
+        first = False
     total_in = pos
     return total_in, total_out
 

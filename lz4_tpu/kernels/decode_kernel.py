@@ -489,6 +489,13 @@ def decode_blocks_sg(comp_bytes_i32: jax.Array, comp_lens: jax.Array,
         raise ValueError("sg kernel blocks are limited to 64KB outputs")
     N = -(-max(max(sizes, default=1), 1) // 128) * 128
     total = sum(sizes)
+    if total + 65536 + N + 256 >= 2 ** 31:
+        # the kernel addresses the continuous output space with int32 byte
+        # offsets (cum); beyond ~2GB those wrap — fail loudly here instead
+        # of relying on callers' guards (sg.py falls back to the host path
+        # well before this, at its own documented 1GB limit)
+        raise ValueError("decode_blocks_sg output space exceeds the "
+                         "kernel's int32 addressing limit")
     TOTR = 512 + -(-total // 128) + N // 128 + 2
     cum = np.zeros((B,), np.int64)
     if B > 1:

@@ -36,6 +36,13 @@ from .ops.xxhash_native import xxh32 as xxh32_fast
 BLOCK = 65536  # device-path block granularity
 
 
+class DeviceLayoutUnsupported(Lz4FrameError):
+    """The frame is (as far as parsed) valid but its layout is outside the
+    device kernels' envelope (e.g. oversized blocks).  Callers catch this
+    to fall back to the host codec; genuine decode errors raise plain
+    Lz4FrameError and must propagate (no redundant host re-decode)."""
+
+
 def fetch_byte_rows(rows_i32) -> np.ndarray:
     """Fetch [B, M] int32 byte lanes from device as uint8, packing to real
     bytes on-device first: the host link moves 4x less data.
@@ -201,7 +208,11 @@ def compress_frame_device(data: bytes,
               and block_size == spec.WINDOW_SIZE)
     if linked:
         return _compress_frame_device_linked(data, prefs, acceleration)
-    prefs.block_independent = True
+    # When a linked frame was requested but the data fits one block (or the
+    # block size is not the chain unit), blocks are compressed independently
+    # — still a valid linked stream (no match ever crosses a boundary) — and
+    # the emitted FLG keeps the requested block-mode bit so the header
+    # matches what the reference CLI writes for -BD (lz4io.c:138).
     if prefs.block_size_id == 0:
         prefs.block_size_id = spec.optimal_block_size_id(block_size)
     if block_size > spec.BLOCK_SIZES[prefs.block_size_id]:
@@ -282,7 +293,8 @@ def decompress_frame_device(frame: bytes) -> Tuple[bytes, int]:
     """
     info = decode_frame_header(frame)
     if info.block_size > BLOCK:
-        raise Lz4FrameError("block size exceeds device kernel maximum")
+        raise DeviceLayoutUnsupported(
+            "block size exceeds device kernel maximum")
     pos = info.header_size
     comp_blocks: List[bytes] = []
     stored: List[Optional[bytes]] = []

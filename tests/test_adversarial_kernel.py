@@ -6,6 +6,7 @@ host oracle byte-for-byte on acceptance, output, and rejection (the
 reference's fuzzer.c:400-529 guarantee class).
 """
 
+import os
 import random
 
 import numpy as np
@@ -43,7 +44,11 @@ def _cases(seed):
     return cases
 
 
-@pytest.mark.parametrize("seed", [1, 2])
+# soak knob: LZ4TPU_FUZZ_SEEDS=100 widens the seed sweep (CI default 2)
+SEEDS = range(1, 1 + int(os.environ.get("LZ4TPU_FUZZ_SEEDS", "2")))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
 def test_kernel_verdicts_match_host_on_malformed(seed):
     cases = _cases(seed)
     M = -(-max(len(c) for c in cases) // 128) * 128

@@ -217,3 +217,43 @@ def test_block_dependency_flag_roundtrip(tmp_path):
     r = run_cli(["-d", "-f", str(out), str(back)])
     assert r.returncode == 0, r.stderr
     assert back.read_bytes() == data
+
+
+def test_pass_through_forced_decompress(tmp_path):
+    """-d -f on non-LZ4 input copies it verbatim (lz4io.c:946-952 gated on
+    g_overwrite; shell analog programs/Makefile:249-250)."""
+    src = tmp_path / "plain.txt"
+    payload = b"just some text, not lz4 at all\n" * 10
+    src.write_bytes(payload)
+    out = tmp_path / "out.bin"
+    # without -f: refuse
+    p = run_cli(["-d", str(src), str(out)])
+    assert p.returncode != 0
+    # with -f: verbatim copy
+    p = run_cli(["-d", "-f", str(src), str(out)])
+    assert p.returncode == 0, p.stderr
+    assert out.read_bytes() == payload
+    # lz4cat personality (overwrite implied) also passes through
+    q = run_cli(["-d", "-f", "-c", str(src)])
+    assert q.returncode == 0 and q.stdout == payload
+
+
+def test_trailing_garbage_after_stream_stops_cleanly():
+    """Valid stream followed by unrecognized data decodes the stream and
+    stops without error (lz4io.c:948-952)."""
+    comp = run_cli(["-z", "-c"], input_=DATA).stdout
+    p = run_cli(["-d", "-c"], input_=comp + b"#garbage-not-a-frame")
+    assert p.returncode == 0, p.stderr
+    assert p.stdout == DATA
+
+
+def test_bd_small_input_keeps_linked_flag():
+    """-BD on data <= one block still emits FLG blockMode=linked, matching
+    the reference CLI (lz4io.c:138); content decodes either way."""
+    from lz4_tpu.frame import decode_frame_header
+    small = DATA[:30_000]
+    p = run_cli(["-B4", "-BD", "-z", "-c"], input_=small)
+    assert p.returncode == 0, p.stderr
+    assert not decode_frame_header(p.stdout).block_independent
+    q = run_cli(["-d", "-c"], input_=p.stdout)
+    assert q.returncode == 0 and q.stdout == small

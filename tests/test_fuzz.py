@@ -8,6 +8,7 @@ limitedOutput must-fail-one-byte-short, partial decode, short-output
 rejection, dict modes, and cross-decoding with the reference library.
 """
 
+import os
 import random
 
 import pytest
@@ -25,7 +26,10 @@ from lz4_tpu.utils.datagen import gen_buffer
 from . import oracle
 
 POOL = gen_buffer(1 << 20, 0.65, 0xF00D)  # shared noise pool
-CYCLES = 40
+# CI default keeps latency low; soak runs scale it up, reference-style
+# (programs/Makefile:65 runs the real battery time-boxed):
+#   LZ4TPU_FUZZ_CYCLES=10000 python -m pytest tests/test_fuzz.py -q
+CYCLES = int(os.environ.get("LZ4TPU_FUZZ_CYCLES", "40"))
 
 
 def cycle_params(seed):
