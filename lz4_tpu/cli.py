@@ -50,6 +50,8 @@ Arguments:
  --content-size   : embed the uncompressed size in the frame header
  --[no-]frame-crc : content checksum (default: enabled)
  --[no-]sparse    : sparse file support on decode (default: enabled)
+ --min-match=N    : drop matches shorter than N bytes (N>=4; larger output,
+                    proportionally faster decode -- TPU-side speed lever)
  -b#          : benchmark file(s) at level #
  -i#          : iterations for benchmark (default: 3)
  -q / -v      : quieter / more verbose
@@ -192,6 +194,14 @@ def main(argv=None) -> int:
             continue
         if a == "--no-sparse":
             prefs.sparse = False
+            continue
+        if a.startswith("--min-match"):
+            # encode-side speed lever: drop matches shorter than N bytes
+            # (fewer sequences -> faster decode, larger output)
+            try:
+                prefs.min_match = max(4, int(a.split("=", 1)[1]))
+            except (IndexError, ValueError):
+                _die("--min-match=N expects an integer >= 4")
             continue
         if a == "--rm":
             prefs.remove_src = True

@@ -55,6 +55,7 @@ class IoPrefs:
     remove_src: bool = False        # --rm
     use_device: Optional[bool] = None  # None = auto
     acceleration: int = 1
+    min_match: int = 4              # --min-match: ratio/decode-speed lever
     verbosity: int = 2
 
 
@@ -107,7 +108,7 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, prefs: IoPrefs,
         frame = compress_frame_device(
             data, fp, block_size=min(65536,
                                      spec.BLOCK_SIZES[prefs.block_size_id]),
-            acceleration=prefs.acceleration)
+            acceleration=prefs.acceleration, min_match=prefs.min_match)
         dst.write(frame)
         return len(data), len(frame)
 

@@ -78,7 +78,8 @@ def _hash5(v32, b4):
     return (x >> (32 - HASH_LOG)) & (HASH_SIZE - 1)
 
 
-def _make_encode_kernel(NS: int, M: int, acceleration: int):
+def _make_encode_kernel(NS: int, M: int, acceleration: int,
+                        min_match: int = 4):
     def kernel(slen_ref, val_hbm, out_hbm, olen_ref,
                vsmem, osmem, table, sem_in, sem_out):
         b = pl.program_id(0)
@@ -114,7 +115,7 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
         mflimit = n - 12      # last position a match may start (inclusive)
         matchlimit = n - 5    # matches may extend up to here (exclusive)
 
-        def with_match(ip, op, anchor, q):
+        def with_match(ip, op, anchor, scnt, q):
             # backward extension (catch-up, lz4.c:635)
             def bcond(c):
                 mp, qq = c
@@ -143,13 +144,28 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
                     + jnp.where((diff & 0xFFFFFF) == 0, 1, 0))
             ml = jnp.minimum(ml + tail, matchlimit - mp)
 
-            op2 = emit_seq(op, anchor, mp - anchor, ip - q, ml - 4)
-            new_ip = mp + ml
-            # densify the index near the match end (lz4.c:733-736)
-            p2 = new_ip - 2
-            table[_hash5(val(p2), val(p2 + 4) & 0xFF)] = tag | p2
-            return (new_ip, op2, new_ip,
-                    jnp.int32(acceleration << SKIP_TRIGGER))
+            def emit(ip, op, anchor, scnt):
+                op2 = emit_seq(op, anchor, mp - anchor, ip - q, ml - 4)
+                new_ip = mp + ml
+                # densify the index near the match end (lz4.c:733-736)
+                p2 = new_ip - 2
+                table[_hash5(val(p2), val(p2 + 4) & 0xFF)] = tag | p2
+                return (new_ip, op2, new_ip,
+                        jnp.int32(acceleration << SKIP_TRIGGER))
+
+            if min_match <= 4:
+                return emit(ip, op, anchor, scnt)
+            # min-match knob: short matches are skipped (kept as literals),
+            # trading ratio for fewer sequences — the decoder's cost is
+            # per-sequence, so this is the encode-side speed lever (like
+            # acceleration, reference lz4.c:62, but on the match side)
+            return lax.cond(ml >= min_match,
+                            lambda: emit(ip, op, anchor, scnt),
+                            lambda: skip(ip, op, anchor, scnt))
+
+        def skip(ip, op, anchor, scnt):
+            step = scnt >> SKIP_TRIGGER
+            return ip + step, op, anchor, scnt + 1
 
         def main_body(state):
             ip, op, anchor, scnt = state
@@ -164,13 +180,9 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
                 (e >> POS_BITS) == bt,
                 jnp.logical_and(ip - q <= 65535, val(qc) == val(ip)))
 
-            def no_match(ip, op, anchor, scnt):
-                step = scnt >> SKIP_TRIGGER
-                return ip + step, op, anchor, scnt + 1
-
             return lax.cond(good,
-                            lambda: with_match(ip, op, anchor, q),
-                            lambda: no_match(ip, op, anchor, scnt))
+                            lambda: with_match(ip, op, anchor, scnt, q),
+                            lambda: skip(ip, op, anchor, scnt))
 
         def main_cond(state):
             ip, op, anchor, scnt = state
@@ -194,8 +206,10 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("NS", "M", "acceleration", "interpret"))
-def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret):
+                   static_argnames=("NS", "M", "acceleration", "interpret",
+                                    "min_match"))
+def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret,
+                   min_match=4):
     B = val_rows.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -214,7 +228,7 @@ def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret):
         ],
     )
     out, olen = pl.pallas_call(
-        _make_encode_kernel(NS, M, acceleration),
+        _make_encode_kernel(NS, M, acceleration, min_match),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
@@ -227,7 +241,7 @@ def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret):
 
 
 def encode_blocks(val32_rows: jax.Array, src_lens: jax.Array,
-                  acceleration: int = 1):
+                  acceleration: int = 1, min_match: int = 4):
     """Compress a batch of independent blocks.
 
     Args:
@@ -246,7 +260,7 @@ def encode_blocks(val32_rows: jax.Array, src_lens: jax.Array,
     M = -(-compress_bound(NS) // 128) * 128
     return _encode_blocks(val32_rows, src_lens.astype(jnp.int32),
                           NS=NS, M=M, acceleration=int(acceleration),
-                          interpret=on_cpu())
+                          interpret=on_cpu(), min_match=int(min_match))
 
 
 # ---------------------------------------------------------------------------
@@ -256,7 +270,8 @@ def encode_blocks(val32_rows: jax.Array, src_lens: jax.Array,
 WINDOW = 65536
 
 
-def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
+def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
+                               min_match: int = 4):
     """Chained-block encoder: grid (streams, blocks); the hash table holds
     *global* stream positions and persists across a stream's blocks, so
     matches reach into the previous block exactly like
@@ -320,7 +335,7 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
             lax.fori_loop(0, jnp.maximum((prefix - 4) // 3 + 1, 0), ins, 0)
 
 
-        def with_match(ip, op, anchor, q):
+        def with_match(ip, op, anchor, scnt, q):
             def bcond(c):
                 mp, qq = c
                 return jnp.logical_and(
@@ -344,12 +359,24 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
                     + jnp.where((diff & 0xFFFFFF) == 0, 1, 0))
             ml = jnp.minimum(ml + tail, matchlimit - mp)
 
-            op2 = emit_seq(op, anchor, mp - anchor, ip - q, ml - 4)
-            new_ip = mp + ml
-            p2 = new_ip - 2
-            table[_hash5(val(p2), val(p2 + 4) & 0xFF)] = p2
-            return (new_ip, op2, new_ip,
-                    jnp.int32(acceleration << SKIP_TRIGGER))
+            def emit(ip, op, anchor, scnt):
+                op2 = emit_seq(op, anchor, mp - anchor, ip - q, ml - 4)
+                new_ip = mp + ml
+                p2 = new_ip - 2
+                table[_hash5(val(p2), val(p2 + 4) & 0xFF)] = p2
+                return (new_ip, op2, new_ip,
+                        jnp.int32(acceleration << SKIP_TRIGGER))
+
+            if min_match <= 4:
+                return emit(ip, op, anchor, scnt)
+            # min-match knob: see _make_encode_kernel
+            return lax.cond(ml >= min_match,
+                            lambda: emit(ip, op, anchor, scnt),
+                            lambda: skip(ip, op, anchor, scnt))
+
+        def skip(ip, op, anchor, scnt):
+            step = scnt >> SKIP_TRIGGER
+            return ip + step, op, anchor, scnt + 1
 
         def main_body(state):
             ip, op, anchor, scnt = state
@@ -362,13 +389,9 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
                 e >= low,
                 jnp.logical_and(ip - e <= 65535, val(qc) == val(ip)))
 
-            def no_match(ip, op, anchor, scnt):
-                step = scnt >> SKIP_TRIGGER
-                return ip + step, op, anchor, scnt + 1
-
             return lax.cond(good,
-                            lambda: with_match(ip, op, anchor, qc),
-                            lambda: no_match(ip, op, anchor, scnt))
+                            lambda: with_match(ip, op, anchor, scnt, qc),
+                            lambda: skip(ip, op, anchor, scnt))
 
         def main_cond(state):
             ip, op, anchor, scnt = state
@@ -395,9 +418,10 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("NS", "M", "acceleration", "interpret"))
+                   static_argnames=("NS", "M", "acceleration", "interpret",
+                                    "min_match"))
 def _encode_blocks_linked(val_rows, slen, prefix, *, NS, M, acceleration,
-                          interpret):
+                          interpret, min_match=4):
     S, NB = val_rows.shape[0], val_rows.shape[1]
     W = WINDOW + NS
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -417,7 +441,7 @@ def _encode_blocks_linked(val_rows, slen, prefix, *, NS, M, acceleration,
         ],
     )
     out, olen = pl.pallas_call(
-        _make_encode_linked_kernel(NS, M, acceleration),
+        _make_encode_linked_kernel(NS, M, acceleration, min_match),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((S, NB, 1, M), jnp.int32),
@@ -431,7 +455,8 @@ def _encode_blocks_linked(val_rows, slen, prefix, *, NS, M, acceleration,
 
 def encode_blocks_linked(val32_rows: jax.Array, src_lens: jax.Array,
                          acceleration: int = 1,
-                         prefix_lens: jax.Array | None = None):
+                         prefix_lens: jax.Array | None = None,
+                         min_match: int = 4):
     """Compress streams of linked 64 KB blocks (device streaming mode).
 
     Args:
@@ -456,4 +481,5 @@ def encode_blocks_linked(val32_rows: jax.Array, src_lens: jax.Array,
     return _encode_blocks_linked(val32_rows, src_lens.astype(jnp.int32),
                                  prefix_lens.astype(jnp.int32),
                                  NS=NS, M=M, acceleration=int(acceleration),
-                                 interpret=on_cpu())
+                                 interpret=on_cpu(),
+                                 min_match=int(min_match))

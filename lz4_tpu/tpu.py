@@ -74,14 +74,15 @@ def _split_blocks(data: bytes, block_size: int) -> List[bytes]:
 # ---------------------------------------------------------------------------
 
 def encode_batch(buffers: List[bytes], block_size: int = BLOCK,
-                 acceleration: int = 1):
+                 acceleration: int = 1, min_match: int = 4):
     """Compress a list of <=block_size buffers on device.
 
     Returns (comp_rows int32 np [B, M], comp_lens np [B]).
     """
     packed, lens = np_pack_rows(buffers, block_size)
     val = bytes_to_val32_rows(jnp.asarray(packed), block_size)
-    out, olen = encode_blocks(val, jnp.asarray(lens), acceleration)
+    out, olen = encode_blocks(val, jnp.asarray(lens), acceleration,
+                              min_match=min_match)
     return fetch_byte_rows(out), np.asarray(olen)
 
 
@@ -175,7 +176,8 @@ def assemble_linked_frame(data: bytes, prefs: FramePreferences,
     return b"".join(parts)
 
 
-def encode_stream_linked(data: bytes, acceleration: int = 1):
+def encode_stream_linked(data: bytes, acceleration: int = 1,
+                         min_match: int = 4):
     """Compress one stream as a chain of linked 64 KB blocks on device.
 
     Returns (payloads, block_lens): per-block compressed bytes + their
@@ -185,7 +187,8 @@ def encode_stream_linked(data: bytes, acceleration: int = 1):
     data = bytes(data)
     nb = max(1, -(-len(data) // spec.WINDOW_SIZE))
     val, lens = linked_val_rows(data, 1, nb)
-    out, olen = encode_blocks_linked(val, jnp.asarray(lens), acceleration)
+    out, olen = encode_blocks_linked(val, jnp.asarray(lens), acceleration,
+                                     min_match=min_match)
     outb = fetch_byte_rows(out[0])
     olen = np.asarray(olen[0])
     payloads = [outb[k, :olen[k]].tobytes() for k in range(nb)]
@@ -195,7 +198,8 @@ def encode_stream_linked(data: bytes, acceleration: int = 1):
 def compress_frame_device(data: bytes,
                           prefs: Optional[FramePreferences] = None,
                           block_size: int = BLOCK,
-                          acceleration: int = 1) -> bytes:
+                          acceleration: int = 1,
+                          min_match: int = 4) -> bytes:
     """One-shot frame compression with all block compute on TPU.
 
     Block-independent frames batch blocks over the Pallas grid; linked
@@ -207,7 +211,8 @@ def compress_frame_device(data: bytes,
     linked = (not prefs.block_independent and len(data) > spec.WINDOW_SIZE
               and block_size == spec.WINDOW_SIZE)
     if linked:
-        return _compress_frame_device_linked(data, prefs, acceleration)
+        return _compress_frame_device_linked(data, prefs, acceleration,
+                                             min_match)
     # When a linked frame was requested but the data fits one block (or the
     # block size is not the chain unit), blocks are compressed independently
     # — still a valid linked stream (no match ever crosses a boundary) — and
@@ -222,7 +227,8 @@ def compress_frame_device(data: bytes,
 
     data = bytes(data)
     blocks = _split_blocks(data, block_size)
-    comp_rows, comp_lens = encode_batch(blocks, block_size, acceleration)
+    comp_rows, comp_lens = encode_batch(blocks, block_size, acceleration,
+                                        min_match)
 
     parts = [encode_frame_header(prefs)]
     pos = 0
@@ -249,7 +255,8 @@ def compress_frame_device(data: bytes,
 
 
 def _compress_frame_device_linked(data: bytes, prefs: FramePreferences,
-                                  acceleration: int) -> bytes:
+                                  acceleration: int,
+                                  min_match: int = 4) -> bytes:
     """Linked-frame assembly over the streaming encode kernel."""
     prefs.block_independent = False
     if prefs.block_size_id == 0:
@@ -260,7 +267,8 @@ def _compress_frame_device_linked(data: bytes, prefs: FramePreferences,
         raise Lz4FrameError("content_size does not match data")
 
     data = bytes(data)
-    payloads, block_lens = encode_stream_linked(data, acceleration)
+    payloads, block_lens = encode_stream_linked(data, acceleration,
+                                                min_match)
     return assemble_linked_frame(data, prefs, payloads, block_lens)
 
 

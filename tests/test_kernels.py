@@ -128,3 +128,86 @@ def test_pack_unpack_helpers():
         assert bytes(rows_np[i, :len(b)].astype(np.uint8)) == b
     back = i32_rows_to_bytes(rows)
     assert np.array_equal(np.array(back), np.array(packed))
+
+
+def test_encode_min_match_knob():
+    """min_match > 4 drops short matches (decode-speed lever): streams stay
+    valid, decode back exactly, and contain no match shorter than the
+    floor."""
+    import numpy as np
+    from lz4_tpu.kernels.encode_kernel import (bytes_to_val32_rows,
+                                               encode_blocks)
+    from lz4_tpu.kernels.common import np_pack_rows
+    from lz4_tpu.ops.block_np import decompress_block
+    from lz4_tpu.utils.datagen import gen_buffer
+    import jax.numpy as jnp
+
+    data = gen_buffer(30_000, 0.7, 424)
+    packed, lens = np_pack_rows([data], 30_080)
+    val = bytes_to_val32_rows(jnp.asarray(packed), 30_080)
+    sizes = {}
+    for mm in (4, 8, 12):
+        out, olen = encode_blocks(val, jnp.asarray(lens), min_match=mm)
+        n = int(np.asarray(olen)[0])
+        comp = bytes(np.asarray(out)[0, :n].astype(np.uint8))
+        assert decompress_block(comp, len(data)) == data
+        sizes[mm] = n
+        # parse the stream: every match must be >= mm bytes
+        i, end = 0, n
+        while i < end:
+            tok = comp[i]; i += 1
+            ll = tok >> 4
+            if ll == 15:
+                while True:
+                    b = comp[i]; i += 1; ll += b
+                    if b != 255:
+                        break
+            i += ll
+            if i >= end:
+                break
+            i += 2
+            ml = tok & 15
+            if ml == 15:
+                while True:
+                    b = comp[i]; i += 1; ml += b
+                    if b != 255:
+                        break
+            assert ml + 4 >= mm, (mm, ml + 4)
+    # no monotonicity assert: skipping a short match occasionally exposes a
+    # better long one (greedy parse), so sizes may dip slightly; the
+    # guarantees are the match floor and round-trip above
+    assert sizes[12] > 0.8 * sizes[4]
+
+
+def test_encode_linked_min_match_knob():
+    from lz4_tpu.kernels.encode_kernel import encode_blocks_linked
+    from lz4_tpu.kernels.decode_kernel import decode_blocks_linked
+    from lz4_tpu.tpu import linked_val_rows, fetch_byte_rows
+    from lz4_tpu.utils.datagen import gen_buffer
+    import numpy as np
+    import jax.numpy as jnp
+
+    data = gen_buffer(3 * 65536, 0.75, 99)
+    nb = 3
+    val, lens = linked_val_rows(data, 1, nb)
+    sizes = {}
+    for mm in (4, 10):
+        out, olen = encode_blocks_linked(val, jnp.asarray(lens),
+                                         min_match=mm)
+        olen_np = np.asarray(olen[0])
+        outb = fetch_byte_rows(out[0])
+        payloads = [outb[k, :olen_np[k]].tobytes() for k in range(nb)]
+        M = -(-max(map(len, payloads)) // 128) * 128
+        arr = np.zeros((nb, M), np.int32)
+        clens = np.zeros((nb,), np.int32)
+        for i, c in enumerate(payloads):
+            arr[i, :len(c)] = np.frombuffer(c, np.uint8)
+            clens[i] = len(c)
+        dout, dlen = decode_blocks_linked(jnp.asarray(arr),
+                                          jnp.asarray(clens), 65536)
+        assert (np.asarray(dlen) == lens[0]).all()
+        got = b"".join(bytes(np.asarray(dout)[k, :lens[0][k]].astype(np.uint8))
+                       for k in range(nb))
+        assert got == data
+        sizes[mm] = int(olen_np.sum())
+    assert sizes[4] < sizes[10]
