@@ -152,6 +152,28 @@ def main():
     sgdec()
     report("kernels.decode_blocks_sg", n, timeit(sgdec))
 
+    from lz4_tpu.kernels.destsize_kernel import encode_blocks_dest_size
+
+    half_caps = jnp.asarray(np.maximum(np.asarray(lens) // 2, 64)
+                            .astype(np.int32))
+
+    def encds():
+        val = bytes_to_val32_rows(pd, chunk)
+        _, ol, cons = encode_blocks_dest_size(val, ld, half_caps)
+        np.asarray(cons)
+    encds()
+    report("kernels.encode_dest_size (cap=n/2)", n, timeit(encds))
+
+    from lz4_tpu.sg import sg_compress
+
+    sg_ins = chunks
+    sg_caps = [chunk + 4096] * (len(chunks) + 1)
+
+    def sgenc():
+        sg_compress(sg_ins, sg_caps, use_device=True)
+    sgenc()
+    report("sg.sg_compress(use_device=True)", n, timeit(sgenc, 1))
+
     hc_n = min(n, 8 * chunk)          # HC is chain-bound: bench a slice
     hc_rows = pd[:hc_n // chunk]
     hc_lens = ld[:hc_n // chunk]

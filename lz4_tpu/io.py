@@ -234,14 +234,11 @@ def decompress_stream(src: BinaryIO, dst, prefs: IoPrefs) -> tuple[int, int]:
 
 def _decode_one_frame(data: bytes, prefs: IoPrefs, use_device: bool):
     if use_device:
-        from .frame import decode_frame_header
-        from .tpu import decompress_frame_device
-        info = decode_frame_header(data)
-        if info.block_size <= 65536:
-            try:
-                return decompress_frame_device(data)
-            except Lz4FrameError:
-                pass  # host path below gives exact errors / full layouts
+        from .tpu import DeviceLayoutUnsupported, decompress_frame_device
+        try:
+            return decompress_frame_device(data)
+        except DeviceLayoutUnsupported:
+            pass  # layout outside the kernels' envelope: host path below
     d = FrameDecompressor()
     used, out = d.feed(data)
     if not d.finished:

@@ -589,3 +589,340 @@ def decode_blocks_linked(comp_bytes_i32: jax.Array, comp_lens: jax.Array,
                                M=M, N=N, P=P, interpret=on_cpu(),
                                linked=True)
     return out, olen
+
+
+# ---------------------------------------------------------------------------
+# stream decoder: one frame's block chain of ANY block size (64KB..4MB),
+# linked or independent, decoded as a single output stream through a
+# 128KB input ring (paged by DMA as the parse advances) and a 128KB
+# output ring in VMEM (LZ4's max match distance is 65535, lz4.c:287-288,
+# so the window always lives in the ring); completed 64KB halves are
+# flushed to HBM.  This is what decodes reference-CLI default files
+# (-B7, 4MB blocks, lz4io.c:182-188) on device.
+# ---------------------------------------------------------------------------
+
+PAGE = 65536            # ring half (bytes)
+PAGE_ROWS = PAGE // 128
+RING_MASK = 2 * PAGE - 1
+
+
+def _make_stream_decode_kernel(linked: bool):
+    def kernel(rowstart_ref, clen_ref, ocap_ref, vals_hbm, out_hbm,
+               olen_ref, vsmem, cvmem, ovmem, state, sem_v, sem_c, sem_o):
+        b = pl.program_id(0)
+        n = clen_ref[b]
+        g0 = rowstart_ref[b] * 128      # global input byte of block start
+        lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        @pl.when(b == 0)
+        def _init():
+            state[0] = 0                # opos: global output byte position
+            state[1] = 0                # loaded_hi: input bytes paged in
+            state[2] = 0                # flushed: output bytes DMA'd out
+
+        base = state[0]                 # output position at block start
+        olim = base + jnp.minimum(ocap_ref[b], 1 << 22)
+
+        def load_page(hi):
+            """DMA input bytes [hi, hi+PAGE) into the ring half."""
+            row = hi >> 7
+            half = (hi >> 16) & 1
+            cp_s = pltpu.make_async_copy(
+                vals_hbm.at[pl.ds(row, PAGE_ROWS), :],
+                vsmem.at[pl.ds(half * PAGE_ROWS, PAGE_ROWS), :], sem_v)
+            cp_s.start()
+            cp_v = pltpu.make_async_copy(
+                vals_hbm.at[pl.ds(row, PAGE_ROWS), :],
+                cvmem.at[pl.ds(half * PAGE_ROWS, PAGE_ROWS), :], sem_c)
+            cp_v.start()
+            cp_s.wait()
+            cp_v.wait()
+            cvmem[pl.ds(half * PAGE_ROWS, PAGE_ROWS), :] = \
+                cvmem[pl.ds(half * PAGE_ROWS, PAGE_ROWS), :] & 0xFF
+            return hi + PAGE
+
+        def ensure(pos):
+            """Page the input ring forward so byte ``pos+16`` is loaded."""
+            def cond(hi):
+                return hi < pos + 20
+
+            return lax.while_loop(cond, load_page, state[1])
+
+        def sval(p):
+            q = p & RING_MASK
+            return vsmem[q >> 7, q & 127]
+
+        def sbyte(p):
+            return sval(p) & 0xFF
+
+        def flush(upto):
+            """DMA completed output pages [flushed, upto) to HBM."""
+            def body(fl):
+                half = (fl >> 16) & 1
+                cp_o = pltpu.make_async_copy(
+                    ovmem.at[pl.ds(half * PAGE_ROWS, PAGE_ROWS), :],
+                    out_hbm.at[pl.ds(fl >> 7, PAGE_ROWS), :], sem_o)
+                cp_o.start()
+                cp_o.wait()
+                return fl + PAGE
+
+            return lax.while_loop(lambda fl: fl + PAGE <= upto, body,
+                                  state[2])
+
+        def owindow(a):
+            """[1,128] v with v[lane] = output ring byte at global a+lane."""
+            q = a & RING_MASK
+            f = q >> 7
+            w0 = ovmem[pl.ds(f, 1), :]
+            w1 = ovmem[pl.ds((f + 1) & (2 * PAGE_ROWS - 1), 1), :]
+            w = jnp.concatenate([w0, w1], axis=0)
+            sl = q & 127
+            rot = pltpu.roll(w, -sl, axis=1)
+            return jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
+
+        def cwindow(a):
+            q = a & RING_MASK
+            f = q >> 7
+            w0 = cvmem[pl.ds(f, 1), :]
+            w1 = cvmem[pl.ds((f + 1) & (2 * PAGE_ROWS - 1), 1), :]
+            w = jnp.concatenate([w0, w1], axis=0)
+            sl = q & 127
+            rot = pltpu.roll(w, -sl, axis=1)
+            return jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
+
+        def orow(opos):
+            return (opos & RING_MASK) >> 7
+
+        def merge(carry, v, cpos, take):
+            m = jnp.logical_and(lane >= cpos, lane < cpos + take)
+            return jnp.where(m, v, carry)
+
+        def read_ext(nibble, ip, iend):
+            def cond(c):
+                _, _, ok, stop = c
+                return jnp.logical_and(ok, jnp.logical_not(stop))
+
+            def body(c):
+                extra, ip2, ok, _ = c
+                state[1] = ensure(ip2)
+                ok2 = ip2 < iend
+                bb = jnp.where(ok2, sbyte(ip2), 0)
+                return (extra + bb, ip2 + jnp.int32(1),
+                        jnp.logical_and(ok, ok2), bb != 255)
+
+            extra, ip2, ok, _ = lax.while_loop(
+                cond, body, (jnp.int32(0), ip, jnp.bool_(True),
+                             nibble != 15))
+            return extra, ip2, ok
+
+        def copy_literals(carry, opos, src, litlen):
+            def body(st):
+                carry, opos, src, rem = st
+                state[1] = ensure(src + 128)
+                cpos = opos & 127
+                take = jnp.minimum(128 - cpos, rem)
+                v = cwindow(src - cpos)
+                carry = merge(carry, v, cpos, take)
+                opos2 = opos + take
+
+                @pl.when((opos2 & 127) == 0)
+                def _():
+                    ovmem[pl.ds(orow(opos2 - 1), 1), :] = carry
+                    state[2] = flush(opos2)
+                return carry, opos2, src + take, rem - take
+
+            carry, opos, _, _ = lax.while_loop(
+                lambda st: st[3] > 0, body, (carry, opos, src, litlen))
+            return carry, opos
+
+        def copy_match(carry, opos, offset, mlen):
+            def body(st):
+                carry, opos, rem, o_eff = st
+                cpos = opos & 127
+                ovmem[pl.ds(orow(opos), 1), :] = carry
+                take = jnp.minimum(jnp.minimum(128 - cpos, rem), o_eff)
+                v = owindow(opos - o_eff - cpos)
+                carry = merge(carry, v, cpos, take)
+                opos2 = opos + take
+
+                @pl.when((opos2 & 127) == 0)
+                def _():
+                    ovmem[pl.ds(orow(opos2 - 1), 1), :] = carry
+                    state[2] = flush(opos2)
+                rem2 = rem - take
+                copied2 = mlen - rem2
+                o_eff = jnp.where(2 * o_eff - offset <= copied2,
+                                  2 * o_eff, o_eff)
+                return carry, opos2, rem2, o_eff
+
+            carry, opos, _, _ = lax.while_loop(
+                lambda st: st[2] > 0, body, (carry, opos, mlen, offset))
+            return carry, opos
+
+        iend = g0 + n
+        # window floor: linked = whole stream so far (the ring only holds
+        # the last 128KB, but offsets are <= 65535 so any valid match
+        # source is resident); independent = this block's start
+        floor = jnp.int32(0) if linked else base
+
+        def seq_body(st2):
+            ip, opos, status, carry = st2
+            state[1] = ensure(ip)
+            v = sval(ip)
+            token = v & 0xFF
+            ll_nib = token >> 4
+            ml_nib = token & 15
+            ip = ip + 1
+            ext, ip, ok = read_ext(ll_nib, ip, iend)
+            litlen = ll_nib + ext
+
+            ok = jnp.logical_and(ok, ip + litlen <= iend)
+            ok = jnp.logical_and(ok, opos + litlen <= olim)
+
+            carry, opos = lax.cond(
+                jnp.logical_and(ok, litlen > 0),
+                lambda c, o: copy_literals(c, o, ip, litlen),
+                lambda c, o: (c, o), carry, opos)
+            ip = ip + litlen
+
+            ended = jnp.logical_and(ok, ip == iend)
+
+            state[1] = ensure(ip)
+            ok_m = jnp.logical_and(ok, ip + 2 <= iend)
+            w16 = sbyte(ip) | (sbyte(ip + 1) << 8)
+            offset = jnp.where(ok_m, w16, 1)
+            ip_m = ip + 2
+            ext2, ip_m, ok_e2 = read_ext(ml_nib, ip_m, iend)
+            mlen = ml_nib + ext2 + 4
+            ok_m = jnp.logical_and(ok_m, ok_e2)
+            ok_m = jnp.logical_and(ok_m, offset > 0)
+            ok_m = jnp.logical_and(ok_m, offset <= opos - floor)
+            ok_m = jnp.logical_and(ok_m, opos + mlen <= olim)
+
+            do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
+
+            carry, opos = lax.cond(
+                do_match,
+                lambda c, o: copy_match(c, o, offset, mlen),
+                lambda c, o: (c, o), carry, opos)
+            ip = jnp.where(do_match, ip_m, ip)
+
+            status = jnp.where(ended, 1, jnp.where(do_match, 0, 2))
+            return (ip.astype(jnp.int32), opos.astype(jnp.int32),
+                    status.astype(jnp.int32), carry)
+
+        def seq_cond(st2):
+            ip, opos, status, _ = st2
+            return jnp.logical_and(status == 0, ip < iend)
+
+        # carry-in: the partial row of the previous block's output
+        carry0 = ovmem[pl.ds(orow(base), 1), :]
+        ip, opos, status, carry = lax.while_loop(
+            seq_cond, seq_body,
+            (g0, base, jnp.int32(0), carry0))
+        ovmem[pl.ds(orow(opos), 1), :] = carry
+        ok_blk = status == 1
+        olen_ref[b] = jnp.where(ok_blk, opos - base, ERR_MALFORMED)
+        state[0] = jnp.where(ok_blk, opos, base)
+
+        # final flush on the last block (partial page incl. current row)
+        @pl.when(b == pl.num_programs(0) - 1)
+        def _final_flush():
+            fl = state[2]
+            end_row = (opos >> 7) + 1
+
+            def body(fl):
+                half = (fl >> 16) & 1
+                cp_o = pltpu.make_async_copy(
+                    ovmem.at[pl.ds(half * PAGE_ROWS, PAGE_ROWS), :],
+                    out_hbm.at[pl.ds(fl >> 7, PAGE_ROWS), :], sem_o)
+                cp_o.start()
+                cp_o.wait()
+                return fl + PAGE
+
+            lax.while_loop(lambda fl: fl >> 7 < end_row, body, fl)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("TR", "OR", "linked",
+                                              "interpret"))
+def _decode_stream(vals_rows, rowstart, clen, ocap, *, TR, OR, linked,
+                   interpret):
+    B = clen.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((2 * PAGE_ROWS, 128), jnp.int32),
+            pltpu.VMEM((2 * PAGE_ROWS, 128), jnp.int32),
+            pltpu.VMEM((2 * PAGE_ROWS, 128), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out, olen = pl.pallas_call(
+        _make_stream_decode_kernel(linked),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((OR, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(rowstart, clen, ocap, vals_rows)
+    return out, olen
+
+
+def decode_stream(payloads, block_size: int, content_cap: int,
+                  linked: bool = True):
+    """Decode one frame's block chain of any block size on device.
+
+    Args:
+      payloads: list of compressed block payloads (stream order; stored
+        blocks must be pre-wrapped as literal blocks by the caller).
+      block_size: the frame's block size (64KB..4MB, multiple of 64KB).
+      content_cap: total decoded capacity (each block <= block_size).
+      linked: blockMode (window crosses block boundaries when True).
+
+    Returns (out bytes-lane rows [(cap rows),128] int32, olen [B] int32
+    per-block decoded lengths; -1 = malformed).
+    """
+    if block_size % PAGE:
+        raise ValueError("block_size must be a multiple of 64KB")
+    B = len(payloads)
+    rowstart = np.zeros((B,), np.int32)
+    clen = np.zeros((B,), np.int32)
+    pos = 0
+    for i, p in enumerate(payloads):
+        rowstart[i] = pos
+        clen[i] = len(p)
+        pos += -(-len(p) // 128)
+    total_rows = pos + 2 * PAGE_ROWS + 2   # ring lookahead slack
+    arr = np.zeros((total_rows * 128,), np.uint8)
+    for i, p in enumerate(payloads):
+        o = rowstart[i] * 128
+        arr[o:o + len(p)] = np.frombuffer(bytes(p), np.uint8)
+    packed = jnp.asarray(arr.view("<i4")[None, :])
+    from .common import bytes_to_i32_rows
+    vals = bytes_to_i32_rows(packed, total_rows * 128).reshape(
+        total_rows, 128)
+    ocaps = np.full((B,), block_size, np.int32)
+    rem = content_cap
+    for i in range(B):
+        ocaps[i] = min(block_size, max(rem, 0))
+        rem -= ocaps[i]
+    OR = -(-content_cap // 128) + PAGE_ROWS + 2
+    OR = -(-OR // PAGE_ROWS) * PAGE_ROWS
+    out, olen = _decode_stream(
+        vals, jnp.asarray(rowstart), jnp.asarray(clen),
+        jnp.asarray(ocaps), TR=total_rows, OR=OR, linked=linked,
+        interpret=on_cpu())
+    return out, olen

@@ -477,8 +477,12 @@ def _make_sg_chain_kernel(M: int, acceleration: int, min_match: int):
                 e = table[h]
                 table[h] = ip
                 qc = jnp.clip(e, low, n_end - 1)
+                # e < ip is NOT implied here: a capacity-stopped step has
+                # already inserted positions at and beyond this ip (its
+                # scan frontier passed the consumed point), so a probe can
+                # hit its own position (offset 0) or a future one
                 good = jnp.logical_and(
-                    e >= low,
+                    jnp.logical_and(e >= low, e < ip),
                     jnp.logical_and(ip - e <= 65535, val(qc) == val(ip)))
                 return lax.cond(good,
                                 lambda: with_match(ip, op, anchor, scnt, qc),

@@ -139,13 +139,29 @@ def sg_compress(in_bufs: Sequence[bytes], out_caps: Sequence[int],
                 max_output: Optional[int] = None,
                 acceleration: int = 1,
                 dest_size_compress: DestSizeCompressor = _default_dest_size,
+                use_device: bool = False,
                 ) -> Tuple[int, int, List[bytes]]:
     """Compress a scatter-gather list into one frame across ``out_caps``.
 
     Returns ``(total_out, consumed, out_bufs)``; total_out == 0 on failure
     (reference convention, lz4sg.c:701-764).  Negative codes raise SgError
     mirroring LZ4_compress_fast_sg_extState's validation (-1.. -4).
+
+    With ``use_device=True`` all block compression runs on TPU: the whole
+    buffer-pair walk executes inside one Pallas chain kernel (persistent
+    walk state + hash table across grid steps, window = previous input
+    buffer + current prefix exactly like the host path), and this function
+    only replays the walk to place headers/zero-pads/endmark.  Falls back
+    to the host codec for layouts outside the kernel envelope.
     """
+    if use_device and dest_size_compress is _default_dest_size:
+        try:
+            scripted = _sg_device_scripted(in_bufs, out_caps, source_size,
+                                           max_output, acceleration)
+            return sg_compress(in_bufs, out_caps, source_size, max_output,
+                               acceleration, dest_size_compress=scripted)
+        except _SgDeviceUnsupported:
+            pass  # host path below handles every layout
     in_bufs = [bytes(b) for b in in_bufs]
     n_in, n_out = len(in_bufs), len(out_caps)
     if n_in == 0:
@@ -410,6 +426,68 @@ def sg_decompress(in_bufs: Sequence[bytes], out_caps: Sequence[int],
 
 class _SgDeviceUnsupported(Exception):
     """Layout outside the device kernel's envelope; take the host path."""
+
+
+def _sg_device_scripted(in_bufs, out_caps, source_size, max_output,
+                        acceleration):
+    """Run the whole SG compression walk on device (one Pallas chain
+    kernel, kernels/destsize_kernel.sg_encode_chain) and return a scripted
+    DestSizeCompressor that replays its per-step results into the host
+    walk.  The script asserts, call by call, that the host walk presents
+    exactly the source piece and capacity the kernel assumed — any
+    divergence raises _SgDeviceUnsupported and the caller falls back.
+    """
+    import numpy as np
+
+    total = sum(len(b) for b in in_bufs)
+    if total == 0 or total > (1 << 28):
+        raise _SgDeviceUnsupported()   # int32 positions; keep headroom
+    if source_size is not None and source_size != total:
+        raise _SgDeviceUnsupported()   # partial-source walks stay on host
+    max_dest = sum(out_caps) if max_output is None else max_output
+
+    import jax.numpy as jnp
+    from .kernels.destsize_kernel import LEAD, sg_encode_chain
+    from .kernels.encode_kernel import bytes_to_val32_rows
+
+    in_ends = np.zeros(len(in_bufs) + 1, np.int64)
+    np.cumsum([len(b) for b in in_bufs], out=in_ends[1:])
+    W = 2 * spec.WINDOW_SIZE
+    padded = LEAD + total + W + 256
+    padded = -(-padded // 128) * 128
+    flat = np.zeros(padded, np.uint8)
+    flat[LEAD:LEAD + total] = np.frombuffer(b"".join(in_bufs), np.uint8)
+    packed = flat.view("<i4")[None, :]
+    vals = bytes_to_val32_rows(jnp.asarray(packed), padded)
+    vals_rows = vals.reshape(padded // 128, 128)
+
+    out, blen, consumed, isz, osz = sg_encode_chain(
+        vals_rows, in_ends.astype(np.int32),
+        np.asarray(out_caps, np.int32), max_dest, acceleration)
+    blen, consumed = np.asarray(blen), np.asarray(consumed)
+    isz, osz = np.asarray(isz), np.asarray(osz)
+    live = int((blen >= 0).sum())
+    # one packed fetch of the block bytes (int32 byte lanes -> uint8),
+    # trimmed to live rows x the longest block (the link is the bottleneck)
+    from .tpu import fetch_byte_rows
+    rows = None
+    if live:
+        maxb = int(blen[:live].max(initial=0))
+        maxb4 = -(-max(maxb, 4) // 4) * 4
+        rows = fetch_byte_rows(out[:live, :maxb4])
+
+    steps = iter(range(live))
+
+    def scripted(src_piece, o_size, window, accel):
+        try:
+            t = next(steps)
+        except StopIteration:
+            raise _SgDeviceUnsupported() from None
+        if len(src_piece) != int(isz[t]) or o_size != int(osz[t]):
+            raise _SgDeviceUnsupported()
+        return int(consumed[t]), rows[t, :blen[t]].tobytes()
+
+    return scripted
 
 
 def _sg_decompress_device(in_bufs, out_caps, compressed_size, max_output):

@@ -6,11 +6,11 @@ host only assembles/parses the byte-exact frame container (headers are a
 few bytes per 64KB -- negligible, and inherently sequential).
 
 Layout notes:
-* block-independent frames only on this path (perfect grid parallelism,
-  reference lz4frame.c:546-555 fast/indep variant); linked/SG paths use
-  the host codec or the dict-capable decode kernel per chain step
-* blocks <= 64KB (kernel SMEM budget); any LZ4F block-size ID is still
-  decodable because partial blocks are legal anywhere in a frame
+* encode: block-independent frames batch blocks over the Pallas grid;
+  linked 64KB frames chain through the streaming kernel
+* decode: <=64KB blocks use the batched/linked kernels; larger blocks
+  (up to the reference CLI's default 4MB, lz4io.c:182-188) use the
+  ring-buffered stream kernel (decode_kernel.decode_stream)
 """
 
 from __future__ import annotations
@@ -301,8 +301,9 @@ def decompress_frame_device(frame: bytes) -> Tuple[bytes, int]:
     """
     info = decode_frame_header(frame)
     if info.block_size > BLOCK:
-        raise DeviceLayoutUnsupported(
-            "block size exceeds device kernel maximum")
+        # large blocks (reference CLI default is 4MB, lz4io.c:182-188)
+        # take the ring-buffered stream kernel
+        return _decompress_frame_device_stream(frame, info)
     pos = info.header_size
     comp_blocks: List[bytes] = []
     stored: List[Optional[bytes]] = []
@@ -376,6 +377,67 @@ def decompress_frame_device(frame: bytes) -> Tuple[bytes, int]:
             return content, used
         content = b"".join(bytes(out[i, :olen[i]].astype(np.uint8))
                            for i in range(B))
+
+    if info.content_checksum:
+        if pos + 4 > len(frame):
+            raise Lz4FrameError("truncated content checksum")
+        want = struct.unpack_from("<I", frame, pos)[0]
+        pos += 4
+        if xxh32_fast(content, 0) != want:
+            raise Lz4FrameError("content checksum mismatch")
+    if info.content_size is not None and info.content_size != len(content):
+        raise Lz4FrameError("frame content size mismatch")
+    return content, pos
+
+
+def _decompress_frame_device_stream(frame: bytes, info: FrameInfo):
+    """Decode a frame with >64KB blocks through the ring-buffered stream
+    kernel (decode_kernel.decode_stream): any block size up to 4MB, linked
+    or independent, stored blocks spliced as literal-only blocks."""
+    from .kernels.decode_kernel import decode_stream
+
+    pos = info.header_size
+    payloads: List[bytes] = []
+    lens_hint: List[Optional[int]] = []
+    while True:
+        if pos + 4 > len(frame):
+            raise Lz4FrameError("truncated frame")
+        raw = struct.unpack_from("<I", frame, pos)[0]
+        pos += 4
+        if raw == 0:
+            break
+        size = raw & ~spec.UNCOMPRESSED_BIT
+        if pos + size > len(frame):
+            raise Lz4FrameError("truncated block")
+        payload = frame[pos:pos + size]
+        pos += size
+        if info.block_checksum:
+            want = struct.unpack_from("<I", frame, pos)[0]
+            pos += 4
+            if xxh32_fast(payload, 0) != want:
+                raise Lz4FrameError("block checksum mismatch")
+        if raw & spec.UNCOMPRESSED_BIT:
+            payloads.append(_literal_block(payload))
+            lens_hint.append(len(payload))
+        else:
+            payloads.append(payload)
+            lens_hint.append(None)
+
+    if not payloads:
+        content = b""
+    else:
+        cap = sum(h if h is not None else info.block_size
+                  for h in lens_hint)
+        out, olen = decode_stream(payloads, info.block_size, cap,
+                                  linked=not info.block_independent)
+        olen = np.asarray(olen)
+        if (olen < 0).any():
+            raise Lz4FrameError(
+                f"device decode failed on block "
+                f"{int(np.nonzero(olen < 0)[0][0])}")
+        total = int(olen.sum())
+        flat = fetch_byte_rows(out.reshape(1, -1))[0]
+        content = bytes(flat[:total])
 
     if info.content_checksum:
         if pos + 4 > len(frame):

@@ -307,3 +307,68 @@ def test_device_sg_decodes_reference_frames():
                                     use_device=True)
     assert t_dev == len(data)
     assert b"".join(outs_dev)[:len(data)] == data
+
+
+# ---------------------------------------------------------------------------
+# device SG *compress* (the chain kernel walk)
+# ---------------------------------------------------------------------------
+
+def test_sg_compress_device_16x4k():
+    """sgtest 16x4KB -> 17x4KB matrix, all block compression on device; the
+    frame must decode via our SG decoder, plain LZ4F, AND the reference."""
+    ins = split_buffers(DATA64K, [4096] * 16)
+    caps = [4096] * 17
+    total, consumed, outs = sg_compress(ins, caps, use_device=True)
+    assert consumed == len(DATA64K) and total > 0
+    # mirrored-list decode
+    got_total, got = sg_decompress(outs, [4096] * 16, compressed_size=total)
+    assert got_total == len(DATA64K)
+    assert b"".join(got) == DATA64K
+    # plain LZ4F decodability (sgtest.c:258-354 property)
+    frame = concat_filled(outs, caps, total)
+    content, _ = decompress_frame(frame)
+    assert content == DATA64K
+    # reference decodes it too
+    assert oracle.ref_decompress_frame(frame, len(DATA64K)) == DATA64K
+
+
+def test_sg_compress_device_fuzz_lists():
+    rng = random.Random(0xD57)
+    for cycle in range(4):
+        blob = gen_buffer(rng.randint(10_000, 400_000),
+                          rng.uniform(0.5, 0.9), 900 + cycle)
+        ins, pos = [], 0
+        while pos < len(blob):
+            n = min(rng.randint(1, 80_000), len(blob) - pos)
+            ins.append(blob[pos:pos + n])
+            pos += n
+        caps = [rng.randint(spec.SG_MIN_OUT_BUF, 90_000) for _ in range(30)]
+        caps[0] = max(caps[0], spec.SG_MIN_FIRST_OUT)
+        total, consumed, outs = sg_compress(ins, caps, use_device=True)
+        host_total, host_consumed, _ = sg_compress(ins, caps)
+        if total == 0:
+            assert host_total == 0 or host_consumed < len(blob)
+            continue
+        got_total, got = sg_decompress(outs, [len(b) for b in ins],
+                                       compressed_size=total)
+        assert got_total == consumed
+        assert b"".join(got)[:consumed] == blob[:consumed]
+
+
+def test_sg_compress_device_beats_reference_size():
+    ins = split_buffers(DATA64K, [4096] * 16)
+    caps = [4096] * 17
+    ret, _, _ = oracle.ref_sg_compress(ins, caps)
+    total, _, _ = sg_compress(ins, caps, use_device=True)
+    assert 0 < total <= ret * 1.02  # at worst ~2% of the reference C
+
+
+def test_sg_compress_device_fallback_layouts():
+    """Layouts outside the kernel envelope silently take the host path."""
+    data = gen_buffer(2_000, 0.6, 5)
+    # partial-source walk (source_size < total) stays on host
+    t, c, outs = sg_compress([data], [4096], source_size=1_000,
+                             use_device=True)
+    assert c == 1_000
+    got_total, got = sg_decompress(outs, [1_000], compressed_size=t)
+    assert b"".join(got)[:1_000] == data[:1_000]
