@@ -185,12 +185,41 @@ def main():
     hc()
     report("kernels.encode_blocks_hc (HC9)", hc_n, timeit(hc, 1))
 
+    # stream decoder: raw 256KB-block frame at arbitrary byte offsets
+    from lz4_tpu.frame import FramePreferences
+    from lz4_tpu.tpu import _decompress_frame_device_stream
+    from lz4_tpu.frame import decode_frame_header
+
+    big = compress_frame_device(
+        data, FramePreferences(block_size_id=5), block_size=65536)
+    # re-wrap as an actual 256KB-block frame via the host codec for the
+    # stream path (kernel needs >64KB blocks to engage)
+    from lz4_tpu.frame import FrameCompressor
+    fc = FrameCompressor(FramePreferences(block_size_id=5))
+    frame5 = fc.begin() + fc.update(data) + fc.end()
+    info5 = decode_frame_header(frame5)
+
+    def sdec():
+        _decompress_frame_device_stream(frame5, info5)
+    sdec()
+    report("kernels.decode_stream (256KB blocks, raw frame)", n,
+           timeit(sdec, 1))
+
     print("== device frame pipeline (incl. host assembly + transfers) ==")
     fr = compress_frame_device(data)
     report("tpu.compress_frame_device", n,
            timeit(lambda: compress_frame_device(data), 1))
     report("tpu.decompress_frame_device", n,
            timeit(lambda: decompress_frame_device(fr), 1))
+
+    from lz4_tpu.tpu import compress_frame_device_hc
+    hc_data = data[:min(n, 2 * chunk)]
+
+    def hcframe():
+        compress_frame_device_hc(hc_data, level=9)
+    hcframe()
+    report("tpu.compress_frame_device_hc (HC9)", len(hc_data),
+           timeit(hcframe, 1))
 
 
 if __name__ == "__main__":

@@ -92,7 +92,7 @@ def _bench(paths, prefs: IoPrefs, level: int, iterations: int) -> int:
         chunks = [data[i:i + chunk_size]
                   for i in range(0, len(data), chunk_size)] or [b""]
         crc0 = xxh32(data)
-        use_device = _device_available() and level < 3
+        use_device = _device_available()
 
         if use_device:
             from .tpu import encode_batch, decode_batch
@@ -100,6 +100,21 @@ def _bench(paths, prefs: IoPrefs, level: int, iterations: int) -> int:
             blocks = [data[i:i + bs] for i in range(0, len(data), bs)] or [b""]
             best_c = best_d = float("inf")
             comp_rows = comp_lens = None
+            if level >= 3:
+                # HC levels: the device HC kernel (ratio parity with
+                # lz4hc.c; a few MB/s — see docs/ARCHITECTURE.md)
+                import numpy as _np
+                import jax.numpy as _jnp
+                from .kernels.common import np_pack_rows
+                from .kernels.encode_kernel import bytes_to_val32_rows
+                from .kernels.hc_kernel import encode_blocks_hc
+                from .tpu import fetch_byte_rows
+                packed, lens_np = np_pack_rows(blocks, bs)
+                val = bytes_to_val32_rows(_jnp.asarray(packed), bs)
+                def encode_batch(_blocks, _bs):   # noqa: F811
+                    out, olen = encode_blocks_hc(val, _jnp.asarray(lens_np),
+                                                 level)
+                    return fetch_byte_rows(out), _np.asarray(olen)
             for _ in range(max(1, iterations)):
                 t0 = time.perf_counter()
                 comp_rows, comp_lens = encode_batch(blocks, bs)

@@ -150,3 +150,50 @@ def compress_hc_dest_size(src, capacity, level: int = DEFAULT_CLEVEL,
         _emit_final(out, buf, anchor, lit)
         consumed = anchor - base + lit
     return consumed, bytes(out)
+
+
+class HcCompressStream:
+    """Streaming HC compression over a sliding 64 KB window.
+
+    Parity: ``LZ4_streamHC_t`` + ``LZ4_createStreamHC/loadDictHC/
+    compress_HC_continue/saveDictHC/resetStreamHC`` (reference
+    lz4hc.c:591-686).  Like :class:`lz4_tpu.stream.BlockCompressStream`,
+    the window is an owned copy of the last 64 KB of stream history, so
+    any caller buffer discipline (double-buffer, ring) is valid; produced
+    streams decode with ``LZ4_decompress_safe_usingDict`` / our decoders.
+    """
+
+    def __init__(self, level: int = DEFAULT_CLEVEL):
+        self.level = max(1, min(MAX_CLEVEL, level or DEFAULT_CLEVEL))
+        self.reset()
+
+    def reset(self, level: int | None = None) -> None:
+        """Parity: LZ4_resetStreamHC (lz4hc.c:591-596)."""
+        if level is not None:
+            self.level = max(1, min(MAX_CLEVEL, level))
+        self._window = b""
+
+    def load_dict(self, dictionary: bytes) -> int:
+        """Prime the window; returns loaded size.
+        Parity: LZ4_loadDictHC (lz4hc.c:598-606)."""
+        self._window = bytes(dictionary)[-spec.WINDOW_SIZE:]
+        return len(self._window)
+
+    def save_dict(self, max_bytes: int = spec.WINDOW_SIZE) -> bytes:
+        """Return (up to) the last ``max_bytes`` of window history.
+        Parity: LZ4_saveDictHC (lz4hc.c:669-686)."""
+        return self._window[-max_bytes:] if max_bytes > 0 else b""
+
+    def compress_continue(self, src, capacity: int | None = None) -> bytes:
+        """Compress the next chunk against the stream window.
+
+        Parity: LZ4_compress_HC_continue (lz4hc.c:658-664);
+        ``capacity`` gives limitedOutput semantics (b"" if it cannot fit).
+        """
+        src = bytes(src)
+        out = compress_hc_block(src, self.level, dict_=self._window,
+                                capacity=capacity)
+        if capacity is not None and out == b"" and src:
+            return b""
+        self._window = (self._window + src)[-spec.WINDOW_SIZE:]
+        return out

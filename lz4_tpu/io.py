@@ -99,18 +99,91 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, prefs: IoPrefs,
     if use_device is None:
         # fast levels route to the device kernels; linked (-BD) uses the
         # chained streaming kernel at its 64KB window granularity
-        use_device = prefs.level < 3 and _device_available()
+        use_device = _device_available()
 
-    if use_device:
-        from .tpu import compress_frame_device
+    if use_device and prefs.level >= 3:
+        # HC levels: device HC kernel over independent 64KB blocks
+        # (documented demotion: ratio parity, a few MB/s per chip — vs
+        # the host oracle's minutes; lz4hc.c speed is not reachable on
+        # a scalar-issue-bound core, docs/ARCHITECTURE.md)
+        from .tpu import compress_frame_device_hc
         data = src.read()
         fp = _prefs_to_frame(prefs, len(data) if prefs.content_size else None)
-        frame = compress_frame_device(
-            data, fp, block_size=min(65536,
-                                     spec.BLOCK_SIZES[prefs.block_size_id]),
-            acceleration=prefs.acceleration, min_match=prefs.min_match)
+        frame = compress_frame_device_hc(data, fp, level=prefs.level)
         dst.write(frame)
         return len(data), len(frame)
+
+    if use_device:
+        if prefs.block_linked and spec.BLOCK_SIZES[prefs.block_size_id] \
+                >= 65536:
+            # chunked streaming: bounded host memory for any file size
+            # (lz4io.c:497-542 4MB-read discipline), 64KB window carried
+            # across chunks by the linked kernel's prefix seeding
+            from .tpu import DeviceFrameCompressor
+            fp = _prefs_to_frame(prefs,
+                                 src_size if prefs.content_size else None)
+            fp.block_size_id = 4
+            comp = DeviceFrameCompressor(fp,
+                                         acceleration=prefs.acceleration,
+                                         min_match=prefs.min_match)
+            header = comp.begin()
+            dst.write(header)
+            total_in, total_out = 0, len(header)
+            while True:
+                chunk = src.read(CHUNK)
+                if not chunk:
+                    break
+                total_in += len(chunk)
+                out = comp.update(chunk)
+                total_out += len(out)
+                dst.write(out)
+            tail = comp.end()
+            dst.write(tail)
+            return total_in, total_out + len(tail)
+        # block-independent frames chunk trivially (no window carry):
+        # each 4MB read batches its 64KB blocks over the grid
+        from .frame import encode_frame_header
+        from .ops.xxhash_np import XXH32State
+        from .tpu import encode_batch
+        bs = min(65536, spec.BLOCK_SIZES[prefs.block_size_id])
+        fp = _prefs_to_frame(prefs, src_size if prefs.content_size else None)
+        header = encode_frame_header(fp)
+        dst.write(header)
+        total_in, total_out = 0, len(header)
+        xxh = XXH32State(0)
+        while True:
+            chunk = src.read(CHUNK)
+            if not chunk:
+                break
+            total_in += len(chunk)
+            if fp.content_checksum:
+                xxh.update(chunk)
+            blocks = [chunk[i:i + bs] for i in range(0, len(chunk), bs)]
+            comp_rows, comp_lens = encode_batch(
+                blocks, bs, prefs.acceleration, prefs.min_match)
+            parts = []
+            for i, blk in enumerate(blocks):
+                clen = int(comp_lens[i])
+                if clen >= len(blk):
+                    payload = blk
+                    bh = struct.pack("<I",
+                                     len(blk) | spec.UNCOMPRESSED_BIT)
+                else:
+                    payload = comp_rows[i, :clen].tobytes()
+                    bh = struct.pack("<I", clen)
+                parts.append(bh)
+                parts.append(payload)
+                if fp.block_checksum:
+                    from .ops.xxhash_native import xxh32 as _x32
+                    parts.append(struct.pack("<I", _x32(payload, 0)))
+            out = b"".join(parts)
+            total_out += len(out)
+            dst.write(out)
+        tail = struct.pack("<I", 0)
+        if fp.content_checksum:
+            tail += struct.pack("<I", xxh.digest())
+        dst.write(tail)
+        return total_in, total_out + len(tail)
 
     fp = _prefs_to_frame(prefs, src_size if prefs.content_size else None)
     comp = FrameCompressor(fp)

@@ -75,3 +75,41 @@ def np_unpack_rows(packed, lens, row_bytes: int):
     for i in range(B):
         out.append(allb[i, :int(lens[i])].tobytes())
     return out
+
+
+@jax.jit
+def words_to_val32_2d(packed_rows: jax.Array) -> jax.Array:
+    """[R, 32] int32 packed LE words (R divisible by 512) -> [R, 128] val32
+    lanes (lane p of row r = LE32 read at byte 128r+p, crossing rows).
+
+    Works in 64KB chunks with the same roll pattern the other transforms
+    use (fast on this chip), then patches the 3 chunk-boundary lanes whose
+    rolls wrapped within the chunk.
+    """
+    w = packed_rows.astype(jnp.int32)
+    R = w.shape[0]
+    NB = R // 512
+    wc = w.reshape(NB, 512 * 32)
+    b0 = wc & 0xFF
+    b1 = (wc >> 8) & 0xFF
+    b2 = (wc >> 16) & 0xFF
+    b3 = (wc >> 24) & 0xFF
+    by = jnp.stack([b0, b1, b2, b3], axis=-1).reshape(NB, 65536)
+    v = (by
+         + (jnp.roll(by, -1, axis=1) << 8)
+         + (jnp.roll(by, -2, axis=1) << 16)
+         + (jnp.roll(by, -3, axis=1) << 24))
+    # boundary patch: the last 3 lanes of each chunk read the next chunk's
+    # first 3 bytes (zeros past the final chunk)
+    head = jnp.concatenate(
+        [by[1:, :3], jnp.zeros((1, 3), jnp.int32)], axis=0)  # [NB, 3]
+    tail = by[:, -3:]                                        # [NB, 3]
+    t0 = (tail[:, 0] + (tail[:, 1] << 8) + (tail[:, 2] << 16)
+          + (head[:, 0] << 24))
+    t1 = (tail[:, 1] + (tail[:, 2] << 8) + (head[:, 0] << 16)
+          + (head[:, 1] << 24))
+    t2 = (tail[:, 2] + (head[:, 0] << 8) + (head[:, 1] << 16)
+          + (head[:, 2] << 24))
+    patch = jnp.stack([t0, t1, t2], axis=-1)                 # [NB, 3]
+    v = jax.lax.dynamic_update_slice(v, patch, (0, 65533))
+    return v.reshape(R, 128)

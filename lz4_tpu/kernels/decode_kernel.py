@@ -607,11 +607,14 @@ RING_MASK = 2 * PAGE - 1
 
 
 def _make_stream_decode_kernel(linked: bool):
-    def kernel(rowstart_ref, clen_ref, ocap_ref, vals_hbm, out_hbm,
-               olen_ref, vsmem, cvmem, ovmem, state, sem_v, sem_c, sem_o):
+    def kernel(bstart_ref, clen_ref, ocap_ref, stored_ref, vals_hbm,
+               out_hbm, olen_ref, vsmem, cvmem, ovmem, state,
+               sem_v, sem_c, sem_o):
         b = pl.program_id(0)
         n = clen_ref[b]
-        g0 = rowstart_ref[b] * 128      # global input byte of block start
+        g0 = bstart_ref[b]              # global input byte of block start
+                                        # (ANY byte offset: raw frames
+                                        # upload once, payloads in place)
         lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
         @pl.when(b == 0)
@@ -639,6 +642,10 @@ def _make_stream_decode_kernel(linked: bool):
             cp_v.wait()
             cvmem[pl.ds(half * PAGE_ROWS, PAGE_ROWS), :] = \
                 cvmem[pl.ds(half * PAGE_ROWS, PAGE_ROWS), :] & 0xFF
+
+            @pl.when(half == 0)
+            def _():
+                cvmem[pl.ds(2 * PAGE_ROWS, 1), :] = cvmem[pl.ds(0, 1), :]
             return hi + PAGE
 
         def ensure(pos):
@@ -669,13 +676,21 @@ def _make_stream_decode_kernel(linked: bool):
             return lax.while_loop(lambda fl: fl + PAGE <= upto, body,
                                   state[2])
 
+        def ostore(r, row):
+            """Store an output ring row; ring row 0 is mirrored at index
+            2*PAGE_ROWS so window loads can be one contiguous [2,128]
+            read even across the wrap."""
+            ovmem[pl.ds(r, 1), :] = row
+
+            @pl.when(r == 0)
+            def _():
+                ovmem[pl.ds(2 * PAGE_ROWS, 1), :] = row
+
         def owindow(a):
             """[1,128] v with v[lane] = output ring byte at global a+lane."""
             q = a & RING_MASK
             f = q >> 7
-            w0 = ovmem[pl.ds(f, 1), :]
-            w1 = ovmem[pl.ds((f + 1) & (2 * PAGE_ROWS - 1), 1), :]
-            w = jnp.concatenate([w0, w1], axis=0)
+            w = ovmem[pl.ds(f, 2), :]     # f=1023 reads the mirror row
             sl = q & 127
             rot = pltpu.roll(w, -sl, axis=1)
             return jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
@@ -683,9 +698,7 @@ def _make_stream_decode_kernel(linked: bool):
         def cwindow(a):
             q = a & RING_MASK
             f = q >> 7
-            w0 = cvmem[pl.ds(f, 1), :]
-            w1 = cvmem[pl.ds((f + 1) & (2 * PAGE_ROWS - 1), 1), :]
-            w = jnp.concatenate([w0, w1], axis=0)
+            w = cvmem[pl.ds(f, 2), :]
             sl = q & 127
             rot = pltpu.roll(w, -sl, axis=1)
             return jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
@@ -727,7 +740,7 @@ def _make_stream_decode_kernel(linked: bool):
 
                 @pl.when((opos2 & 127) == 0)
                 def _():
-                    ovmem[pl.ds(orow(opos2 - 1), 1), :] = carry
+                    ostore(orow(opos2 - 1), carry)
                     state[2] = flush(opos2)
                 return carry, opos2, src + take, rem - take
 
@@ -739,7 +752,7 @@ def _make_stream_decode_kernel(linked: bool):
             def body(st):
                 carry, opos, rem, o_eff = st
                 cpos = opos & 127
-                ovmem[pl.ds(orow(opos), 1), :] = carry
+                ostore(orow(opos), carry)
                 take = jnp.minimum(jnp.minimum(128 - cpos, rem), o_eff)
                 v = owindow(opos - o_eff - cpos)
                 carry = merge(carry, v, cpos, take)
@@ -747,7 +760,7 @@ def _make_stream_decode_kernel(linked: bool):
 
                 @pl.when((opos2 & 127) == 0)
                 def _():
-                    ovmem[pl.ds(orow(opos2 - 1), 1), :] = carry
+                    ostore(orow(opos2 - 1), carry)
                     state[2] = flush(opos2)
                 rem2 = rem - take
                 copied2 = mlen - rem2
@@ -765,13 +778,7 @@ def _make_stream_decode_kernel(linked: bool):
         # source is resident); independent = this block's start
         floor = jnp.int32(0) if linked else base
 
-        def seq_body(st2):
-            ip, opos, status, carry = st2
-            state[1] = ensure(ip)
-            v = sval(ip)
-            token = v & 0xFF
-            ll_nib = token >> 4
-            ml_nib = token & 15
+        def slow_seq(ip, opos, carry, token, ll_nib, ml_nib, cpos):
             ip = ip + 1
             ext, ip, ok = read_ext(ll_nib, ip, iend)
             litlen = ll_nib + ext
@@ -789,8 +796,7 @@ def _make_stream_decode_kernel(linked: bool):
 
             state[1] = ensure(ip)
             ok_m = jnp.logical_and(ok, ip + 2 <= iend)
-            w16 = sbyte(ip) | (sbyte(ip + 1) << 8)
-            offset = jnp.where(ok_m, w16, 1)
+            offset = jnp.where(ok_m, sval(ip) & 0xFFFF, 1)
             ip_m = ip + 2
             ext2, ip_m, ok_e2 = read_ext(ml_nib, ip_m, iend)
             mlen = ml_nib + ext2 + 4
@@ -811,16 +817,87 @@ def _make_stream_decode_kernel(linked: bool):
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
                     status.astype(jnp.int32), carry)
 
+        def fast_seq(ip, opos, carry, token, ll, ml_nib, cpos):
+            # straight-line common case (same shape as the 64KB kernel's
+            # fast path): <=4 literals injected by broadcasting the val32
+            # word, one ring-window load + roll for the match, no row
+            # completion, no overlap doubling, no length extensions
+            ip1 = ip + 1
+            ipm = ip1 + ll
+            opos1 = opos + ll
+            cpos1 = cpos + ll
+            mlen = ml_nib + 4
+
+            offset = sval(ipm) & 0xFFFF
+            opos2 = opos1 + mlen
+
+            sh = jnp.clip(lane - cpos, 0, 3) * 8
+            carry = merge(carry, (sval(ip1) >> sh) & 0xFF, cpos, ll)
+
+            ended = ipm == iend
+            ok_l = jnp.logical_and(ipm <= iend, opos1 <= olim)
+
+            ostore(orow(opos), carry)
+            v = owindow(opos1 - offset - cpos1)
+            mcarry = merge(carry, v, cpos1, mlen)
+
+            ok_m = jnp.logical_and(
+                jnp.logical_and(ok_l, ipm + 2 <= iend),
+                jnp.logical_and(offset > 0, offset <= opos1 - floor))
+            ok_m = jnp.logical_and(ok_m, opos2 <= olim)
+
+            do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
+            carry = jnp.where(do_match, mcarry, carry)
+            ip = jnp.where(do_match, ipm + 2, ipm)
+            opos = jnp.where(do_match, opos2,
+                             jnp.where(ok_l, opos1, opos))
+            status = jnp.where(jnp.logical_and(ended, ok_l), 1,
+                               jnp.where(do_match, 0, 2))
+            return (ip.astype(jnp.int32), opos.astype(jnp.int32),
+                    status.astype(jnp.int32), carry)
+
+        def seq_body(st2):
+            ip, opos, status, carry = st2
+            state[1] = ensure(ip)       # covers token + 4 literals + LE16
+            v = sval(ip)
+            token = v & 0xFF
+            ll = token >> 4
+            ml_nib = token & 15
+            cpos = opos & 127
+            fast = jnp.logical_and(
+                jnp.logical_and(ll <= 4, ml_nib < 15),
+                cpos + ll + ml_nib <= 123)
+            mpos = ip + 1 + ll
+            fast = jnp.logical_and(
+                fast, (sval(mpos) & 0xFFFF) >= ml_nib + 4)
+            return lax.cond(fast, fast_seq, slow_seq,
+                            ip, opos, carry, token, ll, ml_nib, cpos)
+
         def seq_cond(st2):
             ip, opos, status, _ = st2
             return jnp.logical_and(status == 0, ip < iend)
 
-        # carry-in: the partial row of the previous block's output
-        carry0 = ovmem[pl.ds(orow(base), 1), :]
-        ip, opos, status, carry = lax.while_loop(
-            seq_cond, seq_body,
-            (g0, base, jnp.int32(0), carry0))
-        ovmem[pl.ds(orow(opos), 1), :] = carry
+        def do_parse():
+            # carry-in: the partial row of the previous block's output
+            carry0 = ovmem[pl.ds(orow(base), 1), :]
+            ip, opos, status, carry = lax.while_loop(
+                seq_cond, seq_body,
+                (g0, base, jnp.int32(0), carry0))
+            ostore(orow(opos), carry)
+            return opos, status
+
+        def do_stored():
+            # stored (uncompressed) block: a straight ring copy of n input
+            # bytes (lz4frame.c:518-524 passthrough, done in-kernel so raw
+            # frames never need host-side literal-block splicing)
+            carry0 = ovmem[pl.ds(orow(base), 1), :]
+            ok = base + n <= olim
+            nn = jnp.where(ok, n, 0)
+            carry, opos = copy_literals(carry0, base, g0, nn)
+            ostore(orow(opos), carry)
+            return opos, jnp.where(ok, 1, 2).astype(jnp.int32)
+
+        opos, status = lax.cond(stored_ref[b] != 0, do_stored, do_parse)
         ok_blk = status == 1
         olen_ref[b] = jnp.where(ok_blk, opos - base, ERR_MALFORMED)
         state[0] = jnp.where(ok_blk, opos, base)
@@ -847,11 +924,11 @@ def _make_stream_decode_kernel(linked: bool):
 
 @functools.partial(jax.jit, static_argnames=("TR", "OR", "linked",
                                               "interpret"))
-def _decode_stream(vals_rows, rowstart, clen, ocap, *, TR, OR, linked,
+def _decode_stream(vals_rows, bstart, clen, ocap, stored, *, TR, OR, linked,
                    interpret):
     B = clen.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
@@ -860,8 +937,8 @@ def _decode_stream(vals_rows, rowstart, clen, ocap, *, TR, OR, linked,
         ),
         scratch_shapes=[
             pltpu.SMEM((2 * PAGE_ROWS, 128), jnp.int32),
-            pltpu.VMEM((2 * PAGE_ROWS, 128), jnp.int32),
-            pltpu.VMEM((2 * PAGE_ROWS, 128), jnp.int32),
+            pltpu.VMEM((2 * PAGE_ROWS + 1, 128), jnp.int32),
+            pltpu.VMEM((2 * PAGE_ROWS + 1, 128), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -877,7 +954,7 @@ def _decode_stream(vals_rows, rowstart, clen, ocap, *, TR, OR, linked,
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(rowstart, clen, ocap, vals_rows)
+    )(bstart, clen, ocap, stored, vals_rows)
     return out, olen
 
 
@@ -898,22 +975,43 @@ def decode_stream(payloads, block_size: int, content_cap: int,
     if block_size % PAGE:
         raise ValueError("block_size must be a multiple of 64KB")
     B = len(payloads)
-    rowstart = np.zeros((B,), np.int32)
+    bstart = np.zeros((B,), np.int32)
     clen = np.zeros((B,), np.int32)
     pos = 0
     for i, p in enumerate(payloads):
-        rowstart[i] = pos
+        bstart[i] = pos * 128
         clen[i] = len(p)
         pos += -(-len(p) // 128)
     total_rows = pos + 2 * PAGE_ROWS + 2   # ring lookahead slack
     arr = np.zeros((total_rows * 128,), np.uint8)
     for i, p in enumerate(payloads):
-        o = rowstart[i] * 128
+        o = bstart[i]
         arr[o:o + len(p)] = np.frombuffer(bytes(p), np.uint8)
-    packed = jnp.asarray(arr.view("<i4")[None, :])
-    from .common import bytes_to_i32_rows
-    vals = bytes_to_i32_rows(packed, total_rows * 128).reshape(
-        total_rows, 128)
+    stored = np.zeros((B,), np.int32)
+    return decode_stream_raw(arr, bstart, clen, stored, block_size,
+                             content_cap, linked)
+
+
+def decode_stream_raw(flat_u8: np.ndarray, bstart, clen, stored,
+                      block_size: int, content_cap: int,
+                      linked: bool = True):
+    """decode_stream over payloads at arbitrary BYTE offsets of one flat
+    buffer (e.g. a raw .lz4 frame uploaded verbatim): zero host repacking.
+
+    ``stored`` flags mark uncompressed blocks (copied in-kernel).
+    """
+    B = len(bstart)
+    total = len(flat_u8) + 2 * PAGE + 256
+    total_rows = -(-total // (4 * PAGE)) * (4 * PAGE) // 128
+    if total_rows * 128 != len(flat_u8):
+        arr = np.zeros((total_rows * 128,), np.uint8)
+        arr[:len(flat_u8)] = flat_u8
+    else:
+        arr = flat_u8
+    packed = jnp.asarray(
+        np.ascontiguousarray(arr).view("<i4").reshape(total_rows, 32))
+    from .common import words_to_val32_2d
+    vals = words_to_val32_2d(packed)
     ocaps = np.full((B,), block_size, np.int32)
     rem = content_cap
     for i in range(B):
@@ -922,7 +1020,8 @@ def decode_stream(payloads, block_size: int, content_cap: int,
     OR = -(-content_cap // 128) + PAGE_ROWS + 2
     OR = -(-OR // PAGE_ROWS) * PAGE_ROWS
     out, olen = _decode_stream(
-        vals, jnp.asarray(rowstart), jnp.asarray(clen),
-        jnp.asarray(ocaps), TR=total_rows, OR=OR, linked=linked,
-        interpret=on_cpu())
+        vals, jnp.asarray(np.asarray(bstart, np.int32)),
+        jnp.asarray(np.asarray(clen, np.int32)),
+        jnp.asarray(ocaps), jnp.asarray(np.asarray(stored, np.int32)),
+        TR=total_rows, OR=OR, linked=linked, interpret=on_cpu())
     return out, olen

@@ -124,3 +124,66 @@ def test_reset():
     enc.reset()
     blk = enc.compress_continue(DATA[:10_000])
     assert blk == compress_block(DATA[:10_000])
+
+
+# ---------------------------------------------------------------------------
+# HC streaming (LZ4_streamHC_t parity, lz4hc.c:591-686)
+# ---------------------------------------------------------------------------
+
+def test_hc_stream_double_buffer():
+    """HC double-buffer discipline: chunks chained with the HC stream
+    compress smaller than independent HC blocks, and both our decoder and
+    the reference decode them with the running window."""
+    from lz4_tpu.hc import HcCompressStream, compress_hc_block
+    data = gen_buffer(200_000, 0.75, 404)
+    chunks = [data[i:i + 32768] for i in range(0, len(data), 32768)]
+
+    enc = HcCompressStream(level=9)
+    dec = BlockDecompressStream()
+    linked_total = 0
+    for c in chunks:
+        blk = enc.compress_continue(c)
+        linked_total += len(blk)
+        assert dec.decompress_continue(blk, len(c)) == c
+
+    indep_total = sum(len(compress_hc_block(c, 9)) for c in chunks)
+    assert linked_total < indep_total
+
+    if oracle.available():
+        enc2 = HcCompressStream(level=9)
+        window = b""
+        for c in chunks:
+            blk = enc2.compress_continue(c)
+            assert oracle.ref_decompress_usingdict(blk, len(c), window) == c
+            window = (window + c)[-65536:]
+
+
+def test_hc_stream_save_load_dict():
+    from lz4_tpu.hc import HcCompressStream
+    base = gen_buffer(100_000, 0.8, 17)
+    dict_, payload = base[:65536], base[60_000:90_000]
+
+    enc = HcCompressStream(level=8)
+    enc.load_dict(dict_)
+    saved = enc.save_dict()
+    assert saved == dict_[-65536:]
+    blk = enc.compress_continue(payload)
+    dec = BlockDecompressStream()
+    dec.set_stream_decode(dict_)
+    assert dec.decompress_continue(blk, len(payload)) == payload
+
+    # resume from a saved dict in a fresh stream: same window semantics
+    enc2 = HcCompressStream(level=8)
+    enc2.load_dict(saved)
+    assert enc2.compress_continue(payload) == blk
+
+
+def test_hc_stream_limited_output():
+    from lz4_tpu.hc import HcCompressStream
+    data = gen_buffer(20_000, 0.6, 3)
+    enc = HcCompressStream(level=9)
+    full = enc.compress_continue(data)
+    enc.reset()
+    assert enc.compress_continue(data, capacity=len(full) - 1) == b""
+    enc.reset()
+    assert enc.compress_continue(data, capacity=len(full)) == full
