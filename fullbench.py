@@ -135,6 +135,14 @@ def main():
     xxh()
     report("kernels.xxh32_batch (VPU)", n, timeit(xxh))
 
+    from lz4_tpu.kernels.xxh64_kernel import xxh64_batch
+
+    def xxh64():
+        xxh64_batch(pd, lens, 0)
+    xxh64()
+    report("kernels.xxh64_batch (VPU, 64b as hi/lo pairs)", n,
+           timeit(xxh64))
+
     def declink():
         _, ol = decode_blocks_linked(comp_d, clen_d, chunk)
         np.asarray(ol)

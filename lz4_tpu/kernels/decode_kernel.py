@@ -267,16 +267,27 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             ipm = ip1 + ll          # match header position
             opos1 = opos + ll
             cpos1 = cpos + ll
-            mlen = ml_nib + 4
+            # one-ext-byte match lengths ride the fast path too (the
+            # dispatch verified the byte is a terminal < 255)
+            is_ext = jnp.where(ml_nib == 15, 1, 0)
+            extb = sval(ipm + 2) & 0xFF
+            mlen = ml_nib + 4 + jnp.where(ml_nib == 15, extb, 0)
 
             w = sval(ipm)
             offset = w & 0xFFFF
             opos2 = opos1 + mlen
 
-            # literal injection, branchless: ll <= 4 on this path, so the
-            # broadcast-shift covers every case (ll == 0 merges nothing)
+            # literal injection, branchless: up to 12 bytes from three
+            # broadcast val32 words (take <= 0 merges nothing)
             sh = jnp.clip(lane - cpos, 0, 3) * 8
-            carry = merge(carry, (sval(ip1) >> sh) & 0xFF, cpos, ll)
+            carry = merge(carry, (sval(ip1) >> sh) & 0xFF, cpos,
+                          jnp.minimum(ll, 4))
+            sh2 = jnp.clip(lane - (cpos + 4), 0, 3) * 8
+            carry = merge(carry, (sval(ip1 + 4) >> sh2) & 0xFF, cpos + 4,
+                          jnp.clip(ll - 4, 0, 4))
+            sh3 = jnp.clip(lane - (cpos + 8), 0, 3) * 8
+            carry = merge(carry, (sval(ip1 + 8) >> sh3) & 0xFF, cpos + 8,
+                          jnp.clip(ll - 8, 0, 4))
 
             ended = ipm == n
             ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
@@ -290,14 +301,15 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             v = window(ovmem, a)
             mcarry = merge(carry, v, cpos1, mlen)
 
+            ip_adv = ipm + 2 + is_ext
             ok_m = jnp.logical_and(
-                jnp.logical_and(ok_l, ipm + 2 <= n),
+                jnp.logical_and(ok_l, ip_adv <= n),
                 jnp.logical_and(offset > 0, offset <= opos1 + plen))
             ok_m = jnp.logical_and(ok_m, opos2 <= olim)
 
             do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
             carry = jnp.where(do_match, mcarry, carry)
-            ip = jnp.where(do_match, ipm + 2, ipm)
+            ip = jnp.where(do_match, ip_adv, ipm)
             opos = jnp.where(do_match, opos2,
                              jnp.where(ok_l, opos1, opos))
             status = jnp.where(jnp.logical_and(ended, ok_l), 1,
@@ -312,15 +324,19 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             ll = token >> 4
             ml_nib = token & 15
             cpos = opos & 127
-            # fast iff: short literals (broadcast-injectable), no length
-            # extensions, no row crossing (strict, so the carry never
-            # flushes on fill), match won't need overlap doubling
-            fast = jnp.logical_and(
-                jnp.logical_and(ll <= 4, ml_nib < 15),
-                cpos + ll + ml_nib <= 123)
             mpos = ip + 1 + ll
+            extb = sval(mpos + 2) & 0xFF
+            mlen = ml_nib + 4 + jnp.where(ml_nib == 15, extb, 0)
+            # fast iff: literals <= 12 (broadcast-injectable), at most ONE
+            # terminal match-extension byte, no literal extension, no row
+            # crossing (strict, so the carry never flushes on fill), and
+            # match offset >= mlen (no overlap doubling)
             fast = jnp.logical_and(
-                fast, (sval(mpos) & 0xFFFF) >= ml_nib + 4)
+                jnp.logical_and(ll <= 12,
+                                jnp.logical_or(ml_nib < 15, extb != 255)),
+                cpos + ll + mlen <= 123)
+            fast = jnp.logical_and(
+                fast, (sval(mpos) & 0xFFFF) >= mlen)
             return lax.cond(fast, fast_seq, slow_seq,
                             ip, opos, carry, token, ll, ml_nib, cpos)
 
