@@ -35,7 +35,7 @@ def report(name, nbytes, secs):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=int, default=4)
+    ap.add_argument("--mb", type=int, default=16)
     ap.add_argument("--host-only", action="store_true")
     args = ap.parse_args()
 
@@ -198,10 +198,8 @@ def main():
     from lz4_tpu.tpu import _decompress_frame_device_stream
     from lz4_tpu.frame import decode_frame_header
 
-    big = compress_frame_device(
-        data, FramePreferences(block_size_id=5), block_size=65536)
-    # re-wrap as an actual 256KB-block frame via the host codec for the
-    # stream path (kernel needs >64KB blocks to engage)
+    # a real 256KB-block frame via the host codec (the stream kernel
+    # engages for >64KB blocks)
     from lz4_tpu.frame import FrameCompressor
     fc = FrameCompressor(FramePreferences(block_size_id=5))
     frame5 = fc.begin() + fc.update(data) + fc.end()

@@ -87,7 +87,9 @@ def _make_kernel(B: int):
         def _init():
             sh = ns_ref[1:2, :].astype(jnp.uint32)   # seed hi
             sl = ns_ref[2:3, :].astype(jnp.uint32)   # seed lo
-            for k, c in enumerate((P1 + P2, P2, np.uint64(0), np.uint64(0))):
+            init_cs = (np.uint64((int(P1) + int(P2)) & ((1 << 64) - 1)),
+                       P2, np.uint64(0), np.uint64(0))
+            for k, c in enumerate(init_cs):
                 ch, cl = _split(np.uint64((int(c)) & ((1 << 64) - 1)))
                 if k == 3:
                     ch, cl = _split(np.uint64((-int(P1)) % (1 << 64)))

@@ -120,12 +120,14 @@ def shard_rows(mesh: Mesh, arr: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def encode_linked_sharded(mesh: Mesh, val_rows: jax.Array, lens: jax.Array,
-                          prefix: jax.Array, acceleration: int = 1):
+                          prefix: jax.Array, acceleration: int = 1,
+                          min_match: int = 4):
     """Shard-mapped streaming encode: stream (shard) axis over the mesh.
 
     val_rows [S, NB, 131072] val32 lanes, lens [S, NB], prefix [S].
     """
-    fn = functools.partial(encode_blocks_linked, acceleration=acceleration)
+    fn = functools.partial(encode_blocks_linked, acceleration=acceleration,
+                           min_match=min_match)
     mapped = jax.shard_map(
         lambda v, ln, pf: fn(v, ln, prefix_lens=pf),
         mesh=mesh,
@@ -138,7 +140,8 @@ def encode_linked_sharded(mesh: Mesh, val_rows: jax.Array, lens: jax.Array,
 
 def compress_frame_mesh(mesh: Mesh, data: bytes,
                         content_checksum: bool = True,
-                        acceleration: int = 1) -> bytes:
+                        acceleration: int = 1,
+                        min_match: int = 4) -> bytes:
     """Compress ONE blob into ONE linked LZ4F frame, data-parallel.
 
     The 64 KB window a shard's first block needs is just the preceding
@@ -153,6 +156,10 @@ def compress_frame_mesh(mesh: Mesh, data: bytes,
 
     BS = 65536
     data = bytes(data)
+    if len(data) >= (1 << 31) - (1 << 17):
+        raise ValueError("stream exceeds the linked kernel's 2GB int32 "
+                         "position envelope (reference renormalizes at "
+                         "2GB, lz4.c:954-973); split into multiple frames")
     D = mesh.shape[AXIS]
     nb_total = max(1, -(-len(data) // BS))
     NB = -(-nb_total // D)
@@ -164,7 +171,8 @@ def compress_frame_mesh(mesh: Mesh, data: bytes,
             prefix[s] = BS
     val = shard_rows(mesh, val)
     out, olen = encode_linked_sharded(mesh, val, jnp.asarray(lens),
-                                      jnp.asarray(prefix), acceleration)
+                                      jnp.asarray(prefix), acceleration,
+                                      min_match)
     from ..tpu import fetch_byte_rows
     outb = fetch_byte_rows(out.reshape(S * NB, out.shape[-1]))
     olen = np.asarray(olen)

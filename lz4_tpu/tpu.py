@@ -185,6 +185,13 @@ def encode_stream_linked(data: bytes, acceleration: int = 1,
     (each block may match into the previous block).
     """
     data = bytes(data)
+    if len(data) >= (1 << 31) - (1 << 17):
+        # the linked kernel tracks global stream positions as int32 and
+        # has no renormalization pass (the reference rescales at 2GB,
+        # lz4.c:954-973); chunk the stream (io.compress_stream does) or
+        # split into multiple frames beyond this envelope
+        raise Lz4FrameError("stream exceeds the linked kernel's 2GB "
+                            "position envelope; use chunked compression")
     nb = max(1, -(-len(data) // spec.WINDOW_SIZE))
     val, lens = linked_val_rows(data, 1, nb)
     out, olen = encode_blocks_linked(val, jnp.asarray(lens), acceleration,
