@@ -279,7 +279,11 @@ def decompress_stream(src: BinaryIO, dst, prefs: IoPrefs) -> tuple[int, int]:
             total_out += len(content)
             pos += used
         elif magic == spec.LEGACY_MAGIC:
-            content, used = decompress_legacy(buf[pos:])
+            if use_device:
+                from .tpu import decompress_legacy_device
+                content, used = decompress_legacy_device(buf[pos:])
+            else:
+                content, used = decompress_legacy(buf[pos:])
             dst.write(content)
             total_out += len(content)
             pos += used

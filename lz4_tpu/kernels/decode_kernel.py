@@ -640,7 +640,7 @@ def _make_stream_decode_kernel(linked: bool):
             state[2] = 0                # flushed: output bytes DMA'd out
 
         base = state[0]                 # output position at block start
-        olim = base + jnp.minimum(ocap_ref[b], 1 << 22)
+        olim = base + jnp.minimum(ocap_ref[b], 1 << 23)
 
         def load_page(hi):
             """DMA input bytes [hi, hi+PAGE) into the ring half."""
@@ -1017,8 +1017,18 @@ def decode_stream_raw(flat_u8: np.ndarray, bstart, clen, stored,
     ``stored`` flags mark uncompressed blocks (copied in-kernel).
     """
     B = len(bstart)
+    # bucket every static shape (input rows, output rows, block count) to
+    # powers of two so distinct file sizes reuse compiled kernels instead
+    # of recompiling per size (first compile is ~tens of seconds)
+    def _pow2(x, lo):
+        n = lo
+        while n < x:
+            n *= 2
+        return n
+
     total = len(flat_u8) + 2 * PAGE + 256
-    total_rows = -(-total // (4 * PAGE)) * (4 * PAGE) // 128
+    total = _pow2(total, 4 * PAGE)
+    total_rows = total // 128
     if total_rows * 128 != len(flat_u8):
         arr = np.zeros((total_rows * 128,), np.uint8)
         arr[:len(flat_u8)] = flat_u8
@@ -1028,16 +1038,24 @@ def decode_stream_raw(flat_u8: np.ndarray, bstart, clen, stored,
         np.ascontiguousarray(arr).view("<i4").reshape(total_rows, 32))
     from .common import words_to_val32_2d
     vals = words_to_val32_2d(packed)
-    ocaps = np.full((B,), block_size, np.int32)
+    BP = _pow2(max(B, 4), 4)
+    ocaps = np.zeros((BP,), np.int32)
     rem = content_cap
     for i in range(B):
         ocaps[i] = min(block_size, max(rem, 0))
         rem -= ocaps[i]
+    # padding blocks are empty stored blocks: they copy zero bytes and
+    # report olen 0 without disturbing the stream position
+    bstart_p = np.zeros((BP,), np.int32)
+    bstart_p[:B] = np.asarray(bstart, np.int32)
+    clen_p = np.zeros((BP,), np.int32)
+    clen_p[:B] = np.asarray(clen, np.int32)
+    stored_p = np.ones((BP,), np.int32)
+    stored_p[:B] = np.asarray(stored, np.int32)
     OR = -(-content_cap // 128) + PAGE_ROWS + 2
-    OR = -(-OR // PAGE_ROWS) * PAGE_ROWS
+    OR = _pow2(-(-OR // PAGE_ROWS) * PAGE_ROWS, 4 * PAGE_ROWS)
     out, olen = _decode_stream(
-        vals, jnp.asarray(np.asarray(bstart, np.int32)),
-        jnp.asarray(np.asarray(clen, np.int32)),
-        jnp.asarray(ocaps), jnp.asarray(np.asarray(stored, np.int32)),
+        vals, jnp.asarray(bstart_p), jnp.asarray(clen_p),
+        jnp.asarray(ocaps), jnp.asarray(stored_p),
         TR=total_rows, OR=OR, linked=linked, interpret=on_cpu())
-    return out, olen
+    return out, olen[:B]

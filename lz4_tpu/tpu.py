@@ -619,3 +619,46 @@ def compress_frame_device_hc(data: bytes,
     if prefs.content_checksum:
         parts.append(struct.pack("<I", xxh32_fast(data, 0)))
     return b"".join(parts)
+
+
+def decompress_legacy_device(data: bytes):
+    """Decode a legacy frame (0x184C2102, 8MB independent blocks,
+    lz4io.c:730-779) through the ring-buffered stream kernel — the
+    blocks are far beyond the batch kernels' envelope, but the stream
+    ring only ever holds the 64KB match window.  Returns
+    (content, bytes_consumed)."""
+    from .kernels.decode_kernel import decode_stream_raw
+
+    if len(data) < 4 or struct.unpack_from("<I", data)[0] != \
+            spec.LEGACY_MAGIC:
+        raise Lz4FrameError("not a legacy frame")
+    pos = 4
+    bstart, clen = [], []
+    while pos + 4 <= len(data):
+        size = struct.unpack_from("<I", data, pos)[0]
+        if size == spec.FRAME_MAGIC or size == spec.LEGACY_MAGIC or \
+                (size & spec.SKIPPABLE_MAGIC_MASK) == \
+                spec.SKIPPABLE_MAGIC_MIN:
+            break
+        pos += 4
+        if pos + size > len(data):
+            raise Lz4FrameError("truncated legacy block")
+        bstart.append(pos)
+        clen.append(size)
+        pos += size
+    if not bstart:
+        return b"", pos
+    flat = np.frombuffer(data[:pos], np.uint8)
+    stored = np.zeros((len(bstart),), np.int32)
+    cap = len(bstart) * spec.LEGACY_BLOCK_SIZE
+    out, olen = decode_stream_raw(flat, bstart, clen, stored,
+                                  spec.LEGACY_BLOCK_SIZE, cap,
+                                  linked=False)
+    olen = np.asarray(olen)
+    if (olen < 0).any():
+        raise Lz4FrameError(
+            f"legacy device decode failed on block "
+            f"{int(np.nonzero(olen < 0)[0][0])}")
+    total = int(olen.sum())
+    flat_out = fetch_byte_rows(out).reshape(-1)
+    return bytes(flat_out[:total]), pos

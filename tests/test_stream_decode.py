@@ -89,3 +89,17 @@ def test_stream_decode_corruption_verdict_parity():
             assert olen[k] == len(ref), trial
         except Lz4BlockError:
             assert olen[k] == -1, trial
+
+
+@pytest.mark.skipif(not oracle.available() or not SLOW,
+                    reason="8MB-block shapes crawl under interpret; the "
+                           "real-TPU path is exercised by bench/verify "
+                           "(LZ4TPU_SLOW_TESTS=1 enables)")
+def test_legacy_device_decode():
+    """Reference -l (legacy 0x184C2102, 8MB blocks) files decode through
+    the stream kernel (tpu.decompress_legacy_device)."""
+    from lz4_tpu.tpu import decompress_legacy_device
+    data = gen_buffer(200_000, 0.97, 12)
+    frame = oracle.ref_cli_compress(data, ("-l",))
+    out, used = decompress_legacy_device(frame)
+    assert out == data
