@@ -7,9 +7,11 @@ non-LZ4 data, legacy-format encode/decode (lz4io.c:344-413, 730-779),
 sparse-file writing that seeks over zero runs (lz4io.c:641-726), and
 multi-file operation (lz4io.c:596-624).
 
-The block codec is chosen per call: the TPU device pipeline for
-block-independent frames when a TPU is present, the host codec otherwise
-(linked mode, HC levels on small inputs, no-JAX environments).
+The block codec is chosen per call: with a TPU present, fast levels run
+the device pipeline (chunked 4MB reads, linked or independent), HC
+levels run the device HC kernel, and decode routes through the batch/
+linked/stream kernels (any block size, legacy included); the host codec
+covers everything otherwise (no-JAX environments, forced CPU).
 """
 
 from __future__ import annotations
