@@ -83,7 +83,11 @@ def encode_batch(buffers: List[bytes], block_size: int = BLOCK,
     val = bytes_to_val32_rows(jnp.asarray(packed), block_size)
     out, olen = encode_blocks(val, jnp.asarray(lens), acceleration,
                               min_match=min_match)
-    return fetch_byte_rows(out), np.asarray(olen)
+    olen = np.asarray(olen)
+    # fetch only up to the longest payload: the host link is the
+    # bottleneck and the bound-padded tail is dead weight
+    maxb = -(-int(max(olen.max(initial=0), 4)) // 4) * 4
+    return fetch_byte_rows(out[:, :maxb]), olen
 
 
 def decode_batch(comp_list: List[bytes], out_cap: int,
@@ -523,8 +527,9 @@ class DeviceFrameCompressor:
                                          self.acceleration,
                                          prefix_lens=prefix_lens,
                                          min_match=self.min_match)
-        outb = fetch_byte_rows(out[0])
         olen = np.asarray(olen[0])
+        maxb = -(-int(max(olen.max(initial=0), 4)) // 4) * 4
+        outb = fetch_byte_rows(out[0][:, :maxb])
         payloads = [outb[k, :olen[k]].tobytes() for k in range(nb)]
         parts = []
         pos = 0
