@@ -140,6 +140,17 @@ def main():
     _, dlen = decode_blocks_linked(rows, clens2_d, BLOCK)
     assert (np.asarray(dlen) == lens[0]).all()
 
+    # optional profiler trace (VERDICT/SURVEY tracing hook):
+    # LZ4TPU_BENCH_PROFILE=/tmp/lz4t_trace produces an xprof/TensorBoard
+    # artifact covering one encode+decode pass of the timed kernels
+    prof_dir = os.environ.get("LZ4TPU_BENCH_PROFILE")
+    if prof_dir:
+        import jax
+        with jax.profiler.trace(prof_dir):
+            _ = np.asarray(encode_blocks_linked(val, jnp.asarray(lens), 1,
+                                                min_match=MM)[1])
+            _ = np.asarray(decode_blocks_linked(rows, clens2_d, BLOCK)[1])
+
     enc_t, dec_t = [], []
     for _ in range(RUNS):
         t0 = time.perf_counter()
