@@ -218,7 +218,10 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
                 lambda st: st[2] > 0, body, (carry, opos, mlen, offset))
             return carry, opos
 
-        def slow_seq(ip, opos, carry, token, ll_nib, ml_nib, cpos):
+        def slow_seq(ip, opos, carry, token, ll_nib, ml_nib, cpos,
+                     mlen_f, offset_f, ipadv_f):
+            # (mlen_f/offset_f/ipadv_f are the fast path's precomputed
+            # values; the general path re-derives them with extensions)
             ip = ip + 1
             ext, ip, ok = read_ext(ll_nib, ip)
             litlen = ll_nib + ext
@@ -262,19 +265,14 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
         # validity checks (all addresses clamped, results discarded on -1).
         # ------------------------------------------------------------------
 
-        def fast_seq(ip, opos, carry, token, ll, ml_nib, cpos):
+        def fast_seq(ip, opos, carry, token, ll, ml_nib, cpos,
+                     mlen, offset, ip_adv):
+            # mlen/offset/ip_adv precomputed by seq_body (issue-bound
+            # scalar core: recomputing them here costs ~8 ops/sequence)
             ip1 = ip + 1
             ipm = ip1 + ll          # match header position
             opos1 = opos + ll
             cpos1 = cpos + ll
-            # one-ext-byte match lengths ride the fast path too (the
-            # dispatch verified the byte is a terminal < 255)
-            is_ext = jnp.where(ml_nib == 15, 1, 0)
-            extb = sval(ipm + 2) & 0xFF
-            mlen = ml_nib + 4 + jnp.where(ml_nib == 15, extb, 0)
-
-            w = sval(ipm)
-            offset = w & 0xFFFF
             opos2 = opos1 + mlen
 
             # literal injection, branchless: up to 12 bytes from three
@@ -301,7 +299,6 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             v = window(ovmem, a)
             mcarry = merge(carry, v, cpos1, mlen)
 
-            ip_adv = ipm + 2 + is_ext
             ok_m = jnp.logical_and(
                 jnp.logical_and(ok_l, ip_adv <= n),
                 jnp.logical_and(offset > 0, offset <= opos1 + plen))
@@ -325,8 +322,11 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             ml_nib = token & 15
             cpos = opos & 127
             mpos = ip + 1 + ll
+            is_ext = jnp.where(ml_nib == 15, 1, 0)
             extb = sval(mpos + 2) & 0xFF
-            mlen = ml_nib + 4 + jnp.where(ml_nib == 15, extb, 0)
+            mlen = ml_nib + 4 + is_ext * extb
+            offset = sval(mpos) & 0xFFFF
+            ip_adv = mpos + 2 + is_ext
             # fast iff: literals <= 12 (broadcast-injectable), at most ONE
             # terminal match-extension byte, no literal extension, no row
             # crossing (strict, so the carry never flushes on fill), and
@@ -335,10 +335,10 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
                 jnp.logical_and(ll <= 12,
                                 jnp.logical_or(ml_nib < 15, extb != 255)),
                 cpos + ll + mlen <= 123)
-            fast = jnp.logical_and(
-                fast, (sval(mpos) & 0xFFFF) >= mlen)
+            fast = jnp.logical_and(fast, offset >= mlen)
             return lax.cond(fast, fast_seq, slow_seq,
-                            ip, opos, carry, token, ll, ml_nib, cpos)
+                            ip, opos, carry, token, ll, ml_nib, cpos,
+                            mlen, offset, ip_adv)
 
         def seq_cond(state):
             ip, opos, status, _ = state
@@ -642,6 +642,12 @@ def _make_stream_decode_kernel(linked: bool):
         base = state[0]                 # output position at block start
         olim = base + jnp.minimum(ocap_ref[b], 1 << 23)
 
+        # Ring bookkeeping (loaded_hi ``hi``, flushed ``fl``) is carried
+        # through the sequence loop as REGISTER state, not SMEM: a scalar
+        # store per sequence serializes the issue pipeline (measured cost
+        # model, docs/ARCHITECTURE.md) — SMEM state[] is written once per
+        # block, at the end of the grid step.
+
         def load_page(hi):
             """DMA input bytes [hi, hi+PAGE) into the ring half."""
             row = hi >> 7
@@ -664,12 +670,9 @@ def _make_stream_decode_kernel(linked: bool):
                 cvmem[pl.ds(2 * PAGE_ROWS, 1), :] = cvmem[pl.ds(0, 1), :]
             return hi + PAGE
 
-        def ensure(pos):
+        def ensure(pos, hi):
             """Page the input ring forward so byte ``pos+16`` is loaded."""
-            def cond(hi):
-                return hi < pos + 20
-
-            return lax.while_loop(cond, load_page, state[1])
+            return lax.while_loop(lambda h: h < pos + 20, load_page, hi)
 
         def sval(p):
             q = p & RING_MASK
@@ -678,7 +681,7 @@ def _make_stream_decode_kernel(linked: bool):
         def sbyte(p):
             return sval(p) & 0xFF
 
-        def flush(upto):
+        def flush(upto, fl):
             """DMA completed output pages [flushed, upto) to HBM."""
             def body(fl):
                 half = (fl >> 16) & 1
@@ -689,8 +692,7 @@ def _make_stream_decode_kernel(linked: bool):
                 cp_o.wait()
                 return fl + PAGE
 
-            return lax.while_loop(lambda fl: fl + PAGE <= upto, body,
-                                  state[2])
+            return lax.while_loop(lambda f: f + PAGE <= upto, body, fl)
 
         def ostore(r, row):
             """Store an output ring row; ring row 0 is mirrored at index
@@ -726,28 +728,28 @@ def _make_stream_decode_kernel(linked: bool):
             m = jnp.logical_and(lane >= cpos, lane < cpos + take)
             return jnp.where(m, v, carry)
 
-        def read_ext(nibble, ip, iend):
+        def read_ext(nibble, ip, iend, hi):
             def cond(c):
-                _, _, ok, stop = c
+                _, _, ok, stop, _ = c
                 return jnp.logical_and(ok, jnp.logical_not(stop))
 
             def body(c):
-                extra, ip2, ok, _ = c
-                state[1] = ensure(ip2)
+                extra, ip2, ok, _, hi = c
+                hi = ensure(ip2, hi)
                 ok2 = ip2 < iend
                 bb = jnp.where(ok2, sbyte(ip2), 0)
                 return (extra + bb, ip2 + jnp.int32(1),
-                        jnp.logical_and(ok, ok2), bb != 255)
+                        jnp.logical_and(ok, ok2), bb != 255, hi)
 
-            extra, ip2, ok, _ = lax.while_loop(
+            extra, ip2, ok, _, hi = lax.while_loop(
                 cond, body, (jnp.int32(0), ip, jnp.bool_(True),
-                             nibble != 15))
-            return extra, ip2, ok
+                             nibble != 15, hi))
+            return extra, ip2, ok, hi
 
-        def copy_literals(carry, opos, src, litlen):
+        def copy_literals(carry, opos, src, litlen, hi, fl):
             def body(st):
-                carry, opos, src, rem = st
-                state[1] = ensure(src + 128)
+                carry, opos, src, rem, hi, fl = st
+                hi = ensure(src + 128, hi)
                 cpos = opos & 127
                 take = jnp.minimum(128 - cpos, rem)
                 v = cwindow(src - cpos)
@@ -757,16 +759,19 @@ def _make_stream_decode_kernel(linked: bool):
                 @pl.when((opos2 & 127) == 0)
                 def _():
                     ostore(orow(opos2 - 1), carry)
-                    state[2] = flush(opos2)
-                return carry, opos2, src + take, rem - take
+                fl = lax.cond((opos2 & 127) == 0,
+                              lambda f: flush(opos2, f),
+                              lambda f: f, fl)
+                return carry, opos2, src + take, rem - take, hi, fl
 
-            carry, opos, _, _ = lax.while_loop(
-                lambda st: st[3] > 0, body, (carry, opos, src, litlen))
-            return carry, opos
+            carry, opos, _, _, hi, fl = lax.while_loop(
+                lambda st: st[3] > 0, body,
+                (carry, opos, src, litlen, hi, fl))
+            return carry, opos, hi, fl
 
-        def copy_match(carry, opos, offset, mlen):
+        def copy_match(carry, opos, offset, mlen, fl):
             def body(st):
-                carry, opos, rem, o_eff = st
+                carry, opos, rem, o_eff, fl = st
                 cpos = opos & 127
                 ostore(orow(opos), carry)
                 take = jnp.minimum(jnp.minimum(128 - cpos, rem), o_eff)
@@ -777,16 +782,18 @@ def _make_stream_decode_kernel(linked: bool):
                 @pl.when((opos2 & 127) == 0)
                 def _():
                     ostore(orow(opos2 - 1), carry)
-                    state[2] = flush(opos2)
+                fl = lax.cond((opos2 & 127) == 0,
+                              lambda f: flush(opos2, f),
+                              lambda f: f, fl)
                 rem2 = rem - take
                 copied2 = mlen - rem2
                 o_eff = jnp.where(2 * o_eff - offset <= copied2,
                                   2 * o_eff, o_eff)
-                return carry, opos2, rem2, o_eff
+                return carry, opos2, rem2, o_eff, fl
 
-            carry, opos, _, _ = lax.while_loop(
-                lambda st: st[2] > 0, body, (carry, opos, mlen, offset))
-            return carry, opos
+            carry, opos, _, _, fl = lax.while_loop(
+                lambda st: st[2] > 0, body, (carry, opos, mlen, offset, fl))
+            return carry, opos, fl
 
         iend = g0 + n
         # window floor: linked = whole stream so far (the ring only holds
@@ -794,27 +801,28 @@ def _make_stream_decode_kernel(linked: bool):
         # source is resident); independent = this block's start
         floor = jnp.int32(0) if linked else base
 
-        def slow_seq(ip, opos, carry, token, ll_nib, ml_nib, cpos):
+        def slow_seq(ip, opos, carry, token, ll_nib, ml_nib, cpos, hi, fl,
+                     mlen_f, offset_f, ipadv_f):
             ip = ip + 1
-            ext, ip, ok = read_ext(ll_nib, ip, iend)
+            ext, ip, ok, hi = read_ext(ll_nib, ip, iend, hi)
             litlen = ll_nib + ext
 
             ok = jnp.logical_and(ok, ip + litlen <= iend)
             ok = jnp.logical_and(ok, opos + litlen <= olim)
 
-            carry, opos = lax.cond(
+            carry, opos, hi, fl = lax.cond(
                 jnp.logical_and(ok, litlen > 0),
-                lambda c, o: copy_literals(c, o, ip, litlen),
-                lambda c, o: (c, o), carry, opos)
+                lambda c, o, h, f: copy_literals(c, o, ip, litlen, h, f),
+                lambda c, o, h, f: (c, o, h, f), carry, opos, hi, fl)
             ip = ip + litlen
 
             ended = jnp.logical_and(ok, ip == iend)
 
-            state[1] = ensure(ip)
+            hi = ensure(ip, hi)
             ok_m = jnp.logical_and(ok, ip + 2 <= iend)
             offset = jnp.where(ok_m, sval(ip) & 0xFFFF, 1)
             ip_m = ip + 2
-            ext2, ip_m, ok_e2 = read_ext(ml_nib, ip_m, iend)
+            ext2, ip_m, ok_e2, hi = read_ext(ml_nib, ip_m, iend, hi)
             mlen = ml_nib + ext2 + 4
             ok_m = jnp.logical_and(ok_m, ok_e2)
             ok_m = jnp.logical_and(ok_m, offset > 0)
@@ -823,32 +831,38 @@ def _make_stream_decode_kernel(linked: bool):
 
             do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
 
-            carry, opos = lax.cond(
+            carry, opos, fl = lax.cond(
                 do_match,
-                lambda c, o: copy_match(c, o, offset, mlen),
-                lambda c, o: (c, o), carry, opos)
+                lambda c, o, f: copy_match(c, o, offset, mlen, f),
+                lambda c, o, f: (c, o, f), carry, opos, fl)
             ip = jnp.where(do_match, ip_m, ip)
 
             status = jnp.where(ended, 1, jnp.where(do_match, 0, 2))
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
-                    status.astype(jnp.int32), carry)
+                    status.astype(jnp.int32), carry, hi, fl)
 
-        def fast_seq(ip, opos, carry, token, ll, ml_nib, cpos):
-            # straight-line common case (same shape as the 64KB kernel's
-            # fast path): <=4 literals injected by broadcasting the val32
-            # word, one ring-window load + roll for the match, no row
-            # completion, no overlap doubling, no length extensions
+        def fast_seq(ip, opos, carry, token, ll, ml_nib, cpos, hi, fl,
+                     mlen, offset, ip_adv):
+            # straight-line common case, widened to the batch kernel's
+            # envelope: up to 12 literals injected from three broadcast
+            # val32 words, one TERMINAL match-length extension byte, no
+            # row completion, no overlap doubling; mlen/offset/ip_adv
+            # precomputed by seq_body (issue-bound scalar core)
             ip1 = ip + 1
             ipm = ip1 + ll
             opos1 = opos + ll
             cpos1 = cpos + ll
-            mlen = ml_nib + 4
-
-            offset = sval(ipm) & 0xFFFF
             opos2 = opos1 + mlen
 
             sh = jnp.clip(lane - cpos, 0, 3) * 8
-            carry = merge(carry, (sval(ip1) >> sh) & 0xFF, cpos, ll)
+            carry = merge(carry, (sval(ip1) >> sh) & 0xFF, cpos,
+                          jnp.minimum(ll, 4))
+            sh2 = jnp.clip(lane - (cpos + 4), 0, 3) * 8
+            carry = merge(carry, (sval(ip1 + 4) >> sh2) & 0xFF, cpos + 4,
+                          jnp.clip(ll - 4, 0, 4))
+            sh3 = jnp.clip(lane - (cpos + 8), 0, 3) * 8
+            carry = merge(carry, (sval(ip1 + 8) >> sh3) & 0xFF, cpos + 8,
+                          jnp.clip(ll - 8, 0, 4))
 
             ended = ipm == iend
             ok_l = jnp.logical_and(ipm <= iend, opos1 <= olim)
@@ -858,49 +872,56 @@ def _make_stream_decode_kernel(linked: bool):
             mcarry = merge(carry, v, cpos1, mlen)
 
             ok_m = jnp.logical_and(
-                jnp.logical_and(ok_l, ipm + 2 <= iend),
+                jnp.logical_and(ok_l, ip_adv <= iend),
                 jnp.logical_and(offset > 0, offset <= opos1 - floor))
             ok_m = jnp.logical_and(ok_m, opos2 <= olim)
 
             do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
             carry = jnp.where(do_match, mcarry, carry)
-            ip = jnp.where(do_match, ipm + 2, ipm)
+            ip = jnp.where(do_match, ip_adv, ipm)
             opos = jnp.where(do_match, opos2,
                              jnp.where(ok_l, opos1, opos))
             status = jnp.where(jnp.logical_and(ended, ok_l), 1,
                                jnp.where(do_match, 0, 2))
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
-                    status.astype(jnp.int32), carry)
+                    status.astype(jnp.int32), carry, hi, fl)
 
         def seq_body(st2):
-            ip, opos, status, carry = st2
-            state[1] = ensure(ip)       # covers token + 4 literals + LE16
+            ip, opos, status, carry, hi, fl = st2
+            hi = ensure(ip, hi)       # covers token + 12 literals + LE16
+                                      # + the terminal ext byte (<= +16)
             v = sval(ip)
             token = v & 0xFF
             ll = token >> 4
             ml_nib = token & 15
             cpos = opos & 127
-            fast = jnp.logical_and(
-                jnp.logical_and(ll <= 4, ml_nib < 15),
-                cpos + ll + ml_nib <= 123)
             mpos = ip + 1 + ll
+            is_ext = jnp.where(ml_nib == 15, 1, 0)
+            extb = sval(mpos + 2) & 0xFF
+            mlen = ml_nib + 4 + is_ext * extb
+            offset = sval(mpos) & 0xFFFF
+            ip_adv = mpos + 2 + is_ext
             fast = jnp.logical_and(
-                fast, (sval(mpos) & 0xFFFF) >= ml_nib + 4)
+                jnp.logical_and(ll <= 12,
+                                jnp.logical_or(ml_nib < 15, extb != 255)),
+                cpos + ll + mlen <= 123)
+            fast = jnp.logical_and(fast, offset >= mlen)
             return lax.cond(fast, fast_seq, slow_seq,
-                            ip, opos, carry, token, ll, ml_nib, cpos)
+                            ip, opos, carry, token, ll, ml_nib, cpos,
+                            hi, fl, mlen, offset, ip_adv)
 
         def seq_cond(st2):
-            ip, opos, status, _ = st2
+            ip, opos, status, _, _h, _f = st2
             return jnp.logical_and(status == 0, ip < iend)
 
         def do_parse():
             # carry-in: the partial row of the previous block's output
             carry0 = ovmem[pl.ds(orow(base), 1), :]
-            ip, opos, status, carry = lax.while_loop(
+            ip, opos, status, carry, hi, fl = lax.while_loop(
                 seq_cond, seq_body,
-                (g0, base, jnp.int32(0), carry0))
+                (g0, base, jnp.int32(0), carry0, state[1], state[2]))
             ostore(orow(opos), carry)
-            return opos, status
+            return opos, status, hi, fl
 
         def do_stored():
             # stored (uncompressed) block: a straight ring copy of n input
@@ -909,31 +930,34 @@ def _make_stream_decode_kernel(linked: bool):
             carry0 = ovmem[pl.ds(orow(base), 1), :]
             ok = base + n <= olim
             nn = jnp.where(ok, n, 0)
-            carry, opos = copy_literals(carry0, base, g0, nn)
+            carry, opos, hi, fl = copy_literals(carry0, base, g0, nn,
+                                                state[1], state[2])
             ostore(orow(opos), carry)
-            return opos, jnp.where(ok, 1, 2).astype(jnp.int32)
+            return opos, jnp.where(ok, 1, 2).astype(jnp.int32), hi, fl
 
-        opos, status = lax.cond(stored_ref[b] != 0, do_stored, do_parse)
+        opos, status, hi, fl = lax.cond(stored_ref[b] != 0, do_stored,
+                                        do_parse)
         ok_blk = status == 1
         olen_ref[b] = jnp.where(ok_blk, opos - base, ERR_MALFORMED)
         state[0] = jnp.where(ok_blk, opos, base)
+        state[1] = hi
+        state[2] = fl
 
         # final flush on the last block (partial page incl. current row)
         @pl.when(b == pl.num_programs(0) - 1)
         def _final_flush():
-            fl = state[2]
             end_row = (opos >> 7) + 1
 
-            def body(fl):
-                half = (fl >> 16) & 1
+            def body(f):
+                half = (f >> 16) & 1
                 cp_o = pltpu.make_async_copy(
                     ovmem.at[pl.ds(half * PAGE_ROWS, PAGE_ROWS), :],
-                    out_hbm.at[pl.ds(fl >> 7, PAGE_ROWS), :], sem_o)
+                    out_hbm.at[pl.ds(f >> 7, PAGE_ROWS), :], sem_o)
                 cp_o.start()
                 cp_o.wait()
-                return fl + PAGE
+                return f + PAGE
 
-            lax.while_loop(lambda fl: fl >> 7 < end_row, body, fl)
+            lax.while_loop(lambda f: f >> 7 < end_row, body, fl)
 
     return kernel
 
@@ -975,7 +999,7 @@ def _decode_stream(vals_rows, bstart, clen, ocap, stored, *, TR, OR, linked,
 
 
 def decode_stream(payloads, block_size: int, content_cap: int,
-                  linked: bool = True):
+                  linked: bool = True, out_caps=None):
     """Decode one frame's block chain of any block size on device.
 
     Args:
@@ -984,6 +1008,10 @@ def decode_stream(payloads, block_size: int, content_cap: int,
       block_size: the frame's block size (64KB..4MB, multiple of 64KB).
       content_cap: total decoded capacity (each block <= block_size).
       linked: blockMode (window crosses block boundaries when True).
+      out_caps: optional per-block decoded capacities (e.g. exact stored
+        lengths); defaults to block_size each.  A mid-stream flushed
+        block shorter than block_size is legal LZ4F, so caps must be
+        per-block, not a draining pool.
 
     Returns (out bytes-lane rows [(cap rows),128] int32, olen [B] int32
     per-block decoded lengths; -1 = malformed).
@@ -1005,12 +1033,12 @@ def decode_stream(payloads, block_size: int, content_cap: int,
         arr[o:o + len(p)] = np.frombuffer(bytes(p), np.uint8)
     stored = np.zeros((B,), np.int32)
     return decode_stream_raw(arr, bstart, clen, stored, block_size,
-                             content_cap, linked)
+                             content_cap, linked, out_caps=out_caps)
 
 
 def decode_stream_raw(flat_u8: np.ndarray, bstart, clen, stored,
                       block_size: int, content_cap: int,
-                      linked: bool = True):
+                      linked: bool = True, out_caps=None):
     """decode_stream over payloads at arbitrary BYTE offsets of one flat
     buffer (e.g. a raw .lz4 frame uploaded verbatim): zero host repacking.
 
@@ -1040,10 +1068,20 @@ def decode_stream_raw(flat_u8: np.ndarray, bstart, clen, stored,
     vals = words_to_val32_2d(packed)
     BP = _pow2(max(B, 4), 4)
     ocaps = np.zeros((BP,), np.int32)
-    rem = content_cap
-    for i in range(B):
-        ocaps[i] = min(block_size, max(rem, 0))
-        rem -= ocaps[i]
+    if out_caps is None:
+        # every block may legally decode up to block_size; do NOT drain a
+        # shared pool (a short flushed mid-stream block would starve its
+        # successors' caps and fail a valid frame)
+        ocaps[:B] = block_size
+    else:
+        ocaps[:B] = np.asarray(out_caps, np.int32)
+    # the kernel tracks output positions as int32; fail loudly (to the
+    # caller's host-fallback policy) before they can wrap
+    cap_total = int(ocaps.sum())
+    if cap_total + 2 * PAGE + 256 >= 2 ** 31 or \
+            total_rows * 128 >= 2 ** 31:
+        raise ValueError("decode_stream output space exceeds the kernel's "
+                         "int32 addressing limit")
     # padding blocks are empty stored blocks: they copy zero bytes and
     # report olen 0 without disturbing the stream position
     bstart_p = np.zeros((BP,), np.int32)
@@ -1052,7 +1090,7 @@ def decode_stream_raw(flat_u8: np.ndarray, bstart, clen, stored,
     clen_p[:B] = np.asarray(clen, np.int32)
     stored_p = np.ones((BP,), np.int32)
     stored_p[:B] = np.asarray(stored, np.int32)
-    OR = -(-content_cap // 128) + PAGE_ROWS + 2
+    OR = -(-cap_total // 128) + PAGE_ROWS + 2
     OR = _pow2(-(-OR // PAGE_ROWS) * PAGE_ROWS, 4 * PAGE_ROWS)
     out, olen = _decode_stream(
         vals, jnp.asarray(bstart_p), jnp.asarray(clen_p),

@@ -1,31 +1,47 @@
-"""Pallas TPU block encoder (fast/greedy).
+"""Pallas TPU block encoder (fast/greedy) with sorted-candidate matching.
 
-Greedy single-probe hash compression on the TPU scalar core, batched over
-blocks via the grid.  Parity: ``LZ4_compress_fast`` semantics (reference
-lz4.c:510-800) — 5-byte match index (as the reference's 64-bit build,
-lz4.c:462-468), skip acceleration (lz4.c:586-594), backward extension
-(lz4.c:635), spec parsing restrictions (last 5 literals, 12-byte match
-tail).  Output is a valid LZ4 block stream; byte-identity with the C
-encoder is NOT a goal (the spec allows any parse), ratio parity is.
+Parity: ``LZ4_compress_fast`` semantics (reference lz4.c:510-800) — greedy
+parse, skip acceleration (lz4.c:586-594), backward extension (lz4.c:635),
+spec parsing restrictions (last 5 literals, 12-byte match tail).  Output
+is a valid LZ4 block stream; byte-identity with the C encoder is NOT a
+goal (the spec allows any parse), ratio parity is.
 
-The scalar core is issue-bound, so the loop is organised around op count:
+TPU-first design (round 3): the reference's serial hash table — probe,
+validate, insert at every scanned position — is the wrong structure for
+this core: a scalar SMEM store per position serializes the issue pipeline
+(measured: ~28ns/position, docs/ARCHITECTURE.md).  Instead the match
+index is built by the VPU as a *sorted-candidate pass* before the scan:
 
-* Input bytes arrive as ``val32`` lanes: val32[p] = LE32 word at byte p
-  (computed with vector ops on device).  Hash, 4-byte match verification
-  and stride-4 extension are all single loads.
+  cand_delta_rows: sort (val32, position) per row — equal 4-byte words
+  become sort-neighbours, so each position's nearest previous occurrence
+  is one neighbour diff; a second sort un-permutes the deltas back to
+  position order.
+
+The scalar kernel then reads ``delta[p]`` (0 = no candidate in window):
+EXACT candidates (no hash collisions, no validation load), no table, no
+stores in the scan loop — every load pipelines.  Emitted offsets are
+``delta`` itself, in [1, 65535] by construction, which structurally
+excludes the offset-0 corruption class (docs/STRIDE2_BUG.md).  Candidate
+density also beats the reference's table (every position is indexed; the
+C encoder skips inserts inside matches, lz4.c:598-612 vs 733-736).
+
+The scalar core remains issue-bound, so the loop stays organised around
+op count:
+
+* Input bytes arrive as ``val32`` lanes: val32[p] = LE32 word at byte p;
+  4-byte match verification and stride-4 extension are single loads.
 * The match tail (<4 equal bytes) is computed branchlessly from the XOR
   of the mismatching words instead of a byte loop.
 * Sequence emission takes a straight-line fast path when both lengths fit
   their token nibbles (the common case); length extensions branch out.
-* The hash table lives in SMEM and is shared across grid steps: entries
-  are tagged with the block index (entry = (b & 8191) << 18 | pos), so
-  stale entries from earlier blocks never validate; the table re-zeroes
-  only when the tag space wraps (every 8192 blocks).
+* min_match mode (the decode-speed knob: fewer sequences, see bench.py)
+  pre-filters candidates with two word compares — a total length >= 11
+  needs forward >= 8 or backward >= 4 — before paying extension loops,
+  and ``reject_step`` bounds the rescan density of rejected regions.
 
-Cited reference behaviour: hash insert of every scanned position
-(lz4.c:598-612), catch-up backward extension (lz4.c:635), extra insert
-near the match end (lz4.c:733-736), acceleration step growth
-``searchMatchNb >> LZ4_skipTrigger`` (lz4.c:586-594).
+``_hash5``/``hash_rows`` remain exported for the destSize/SG chain kernel
+(kernels/destsize_kernel.py), whose incremental cross-buffer walk still
+uses a persistent table.
 """
 
 from __future__ import annotations
@@ -42,7 +58,7 @@ from .common import on_cpu
 from .emit import make_emitters
 from ..spec import compress_bound
 
-HASH_LOG = 13
+HASH_LOG = 14
 HASH_SIZE = 1 << HASH_LOG
 POS_BITS = 18          # positions < 2^18 (blocks <= 256KB in this kernel)
 POS_MASK = (1 << POS_BITS) - 1
@@ -73,41 +89,80 @@ def bytes_to_val32_rows(packed_words: jax.Array, row_bytes: int) -> jax.Array:
 
 
 def _hash5(v32, b4):
-    """13-bit hash of 5 bytes (our own mix; role of lz4.c:462-468)."""
+    """Hash of 5 bytes (role of lz4.c:462-468) — used by the destSize/SG
+    chain kernel's persistent table."""
     x = (v32 ^ (b4 * jnp.int32(-1640531535))) * jnp.int32(-1640531535)
     return (x >> (32 - HASH_LOG)) & (HASH_SIZE - 1)
 
 
+@jax.jit
+def hash_rows(val: jax.Array) -> jax.Array:
+    """Vectorized per-position _hash5 over val32 rows (VPU)."""
+    b4 = jnp.roll(val, -4, axis=-1) & 0xFF
+    x = (val ^ (b4 * jnp.int32(-1640531535))) * jnp.int32(-1640531535)
+    return (x >> (32 - HASH_LOG)) & (HASH_SIZE - 1)
+
+
+@jax.jit
+def cand_delta_rows(val: jax.Array) -> jax.Array:
+    """[B, N] val32 rows -> [B, N] int32 candidate deltas: lane p holds
+    ``p - p'`` for the NEAREST p' < p whose 5 bytes equal p's within the
+    65535-byte match window, or 0 when none exists.
+
+    Two lax.sorts per row: sorting (val32, b5<<18|pos) groups equal
+    5-byte sequences adjacently — the nearest previous occurrence is the
+    sort predecessor — then sorting (pos, delta) un-permutes.  This is
+    the TPU-native replacement for the reference's scalar hash table
+    (lz4.c:454-477, 598-612): exact — no hash collisions — and computed
+    at VPU rates.  The key is 5 bytes like the reference's 64-bit build
+    (lz4.c:462-468): a 4-byte key finds nearest-but-weak candidates
+    (common 4-grams are everywhere) and was measured 4-10% worse on
+    ratio; 5 bytes biases candidates toward longer matches.
+    """
+    B, N = val.shape
+    assert N <= (1 << 18)
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    b5 = jnp.roll(val, -4, axis=-1) & 0xFF
+    k2 = (b5 << 18) | pos
+    sk, sk2 = lax.sort((val, k2), dimension=1, num_keys=2)
+    sp = sk2 & ((1 << 18) - 1)
+    same = jnp.concatenate(
+        [jnp.zeros((B, 1), bool),
+         jnp.logical_and(sk[:, 1:] == sk[:, :-1],
+                         (sk2 >> 18)[:, 1:] == (sk2 >> 18)[:, :-1])],
+        axis=1)
+    prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), sp[:, :-1]], axis=1)
+    d = jnp.where(same, sp - prev, 0)
+    d = jnp.where(d <= 65535, d, 0)
+    _, dd = lax.sort((sp, d), dimension=1, num_keys=1)
+    return dd
+
+
 def _make_encode_kernel(NS: int, M: int, acceleration: int,
-                        min_match: int = 4):
-    def kernel(slen_ref, val_hbm, out_hbm, olen_ref,
-               vsmem, osmem, table, sem_in, sem_out):
+                        min_match: int = 4, reject_step: int = 1):
+    def kernel(slen_ref, val_hbm, d_hbm, out_hbm, olen_ref,
+               vsmem, dsmem, osmem, sem_in, sem_d, sem_out):
         b = pl.program_id(0)
         n = slen_ref[b]
-        # tags live in bits [POS_BITS, 31): wrap at 8192 blocks and re-zero
-        # the table on wrap so tag collisions with stale entries are
-        # impossible (b << POS_BITS would overflow int32 at b >= 8192)
-        bt = b & 8191
-
-        @pl.when(bt == 0)
-        def _zero_table():
-            def z(i, _):
-                table[i] = -1
-                return 0
-            lax.fori_loop(0, HASH_SIZE, z, 0)
 
         cp_in = pltpu.make_async_copy(val_hbm.at[b], vsmem.at[:, 0:NS],
                                       sem_in)
         cp_in.start()
+        cp_d = pltpu.make_async_copy(d_hbm.at[b], dsmem.at[:, 0:NS],
+                                     sem_d)
+        cp_d.start()
         cp_in.wait()
-
-        tag = bt << POS_BITS
+        cp_d.wait()
 
         def val(p):
             return vsmem[0, p]
 
         def byte(p):
             return vsmem[0, p] & 0xFF
+
+        def delta(p):
+            return dsmem[0, p]
 
         copy_lit4, emit_ext, emit_seq, _emit_final = \
             make_emitters(val, osmem)
@@ -147,43 +202,50 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int,
             def emit(ip, op, anchor, scnt):
                 op2 = emit_seq(op, anchor, mp - anchor, ip - q, ml - 4)
                 new_ip = mp + ml
-                # densify the index near the match end (lz4.c:733-736)
-                p2 = new_ip - 2
-                table[_hash5(val(p2), val(p2 + 4) & 0xFF)] = tag | p2
                 return (new_ip, op2, new_ip,
                         jnp.int32(acceleration << SKIP_TRIGGER))
 
             if min_match <= 4:
                 return emit(ip, op, anchor, scnt)
-            # min-match knob: short matches are skipped (kept as literals),
-            # trading ratio for fewer sequences — the decoder's cost is
-            # per-sequence, so this is the encode-side speed lever (like
-            # acceleration, reference lz4.c:62, but on the match side).
-            # On reject, keep scanning from the next byte: jumping the
-            # whole rejected region would double encode speed but costs
-            # ~5% ratio (positions inside it anchor longer matches via
-            # other candidates), and the ratio gate wins that trade.
+            # min-match knob: short matches stay literal (fewer sequences
+            # = proportionally faster per-chip decode; the decoder is
+            # sequence-bound).  ml includes the backward extension, which
+            # funds a large share of accepted matches; on reject the scan
+            # advances by at most reject_step (keeping probe density:
+            # jumping the whole rejected region was measured to cost 20%+
+            # ratio — long matches are FOUND by dense probing, and the
+            # measured ratio cost of step 2-4 is <1.5%).
             return lax.cond(ml >= min_match,
                             lambda: emit(ip, op, anchor, scnt),
-                            lambda: skip(ip, op, anchor, scnt))
+                            lambda: (ip + jnp.maximum(scnt >> SKIP_TRIGGER,
+                                                      reject_step),
+                                     op, anchor, scnt + 1))
 
         def skip(ip, op, anchor, scnt):
             step = scnt >> SKIP_TRIGGER
             return ip + step, op, anchor, scnt + 1
 
+        def probe_filter(ipx, q):
+            """min-match pre-filter: a total (forward+backward) length
+            >= 11 needs forward >= 8 (word at +4 matches) or backward
+            >= 4 (word at -4); two loads reject most short candidates
+            without paying the extension loops.  NECESSARY-only —
+            survivors still get the exact ml >= min_match test, so the
+            scan trajectory matches the unfiltered kernel."""
+            if min_match < 11:
+                return jnp.bool_(True)
+            w1 = val(q + 4) == val(ipx + 4)
+            b1 = val(jnp.maximum(q - 4, 0)) == \
+                val(jnp.maximum(ipx - 4, 0))
+            return jnp.logical_or(w1, b1)
+
         def main_body(state):
             ip, op, anchor, scnt = state
-            h = _hash5(val(ip), val(ip + 4) & 0xFF)
-            e = table[h]
-            table[h] = tag | ip
-            q = e & POS_MASK
-            # logical_and does not short-circuit: clamp q before loading so
-            # stale-entry probes never index outside the SMEM row
-            qc = jnp.minimum(q, NS - 1)
-            good = jnp.logical_and(
-                (e >> POS_BITS) == bt,
-                jnp.logical_and(ip - q <= 65535, val(qc) == val(ip)))
-
+            d = delta(ip)
+            q = ip - d
+            # d > 0 <=> a previous equal val32 within 65535 bytes exists;
+            # no validation load — the candidate is exact by construction
+            good = jnp.logical_and(d > 0, probe_filter(ip, q))
             return lax.cond(good,
                             lambda: with_match(ip, op, anchor, scnt, q),
                             lambda: skip(ip, op, anchor, scnt))
@@ -211,28 +273,31 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("NS", "M", "acceleration", "interpret",
-                                    "min_match"))
+                                    "min_match", "reject_step"))
 def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret,
-                   min_match=4):
+                   min_match=4, reject_step=1):
     B = val_rows.shape[0]
+    d_rows = cand_delta_rows(val_rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.SMEM((1, NS + 8), jnp.int32),
+            pltpu.SMEM((1, NS + 8), jnp.int32),
             pltpu.SMEM((1, M + 8), jnp.int32),
-            pltpu.SMEM((HASH_SIZE,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out, olen = pl.pallas_call(
-        _make_encode_kernel(NS, M, acceleration, min_match),
+        _make_encode_kernel(NS, M, acceleration, min_match, reject_step),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
@@ -240,18 +305,23 @@ def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret,
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(slen, val_rows.reshape(B, 1, NS))
+    )(slen, val_rows.reshape(B, 1, NS), d_rows.reshape(B, 1, NS))
     return out.reshape(B, M), olen
 
 
 def encode_blocks(val32_rows: jax.Array, src_lens: jax.Array,
-                  acceleration: int = 1, min_match: int = 4):
+                  acceleration: int = 1, min_match: int = 4,
+                  reject_step: int = 1):
     """Compress a batch of independent blocks.
 
     Args:
       val32_rows: [B, NS] int32, lane p = LE32 word at byte p (see
         ``bytes_to_val32_rows``); NS must be a multiple of 128.
       src_lens: [B] int32 source lengths (each <= NS, < 2^18).
+      min_match: shortest match to emit (4 = LZ4 default; larger values
+        trade ratio for fewer sequences = faster decode).
+      reject_step: scan advance on a rejected short match (min_match
+        mode); >1 trades a sliver of ratio for encode speed.
 
     Returns (out [B, M] int32 bytes, olen [B] int32 compressed lengths),
     with M = 128-aligned compress_bound(NS).
@@ -264,7 +334,8 @@ def encode_blocks(val32_rows: jax.Array, src_lens: jax.Array,
     M = -(-compress_bound(NS) // 128) * 128
     return _encode_blocks(val32_rows, src_lens.astype(jnp.int32),
                           NS=NS, M=M, acceleration=int(acceleration),
-                          interpret=on_cpu(), min_match=int(min_match))
+                          interpret=on_cpu(), min_match=int(min_match),
+                          reject_step=int(reject_step))
 
 
 # ---------------------------------------------------------------------------
@@ -275,41 +346,44 @@ WINDOW = 65536
 
 
 def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
-                               min_match: int = 4):
-    """Chained-block encoder: grid (streams, blocks); the hash table holds
-    *global* stream positions and persists across a stream's blocks, so
-    matches reach into the previous block exactly like
-    ``LZ4_compress_fast_continue`` prefix mode (lz4.c:990-1045).  Each grid
-    step's SMEM val window covers [prev block | current block].
+                               min_match: int = 4, reject_step: int = 1):
+    """Chained-block encoder: grid (streams, blocks); each grid step's
+    SMEM val window covers [prev block | current block] and the sorted-
+    candidate pass runs over the whole window, so matches reach into the
+    previous block exactly like ``LZ4_compress_fast_continue`` prefix
+    mode (lz4.c:990-1045).
 
     A stream may start with a pre-existing 64 KB dictionary prefix
-    (prefix_ref[s] > 0): block 0's window rows hold it and the table is
-    seeded with every 3rd prefix position, mirroring LZ4_loadDict
-    (lz4.c:944-948).  This is what lets ONE huge linked frame be encoded
-    data-parallel across a mesh with full window ratio and zero
-    communication: each shard's prefix is simply the preceding 64 KB of
-    input, which the host replicates into the shard's rows.
+    (prefix_ref[s] > 0): block 0's window rows hold it, and candidate
+    deltas pointing into it come straight from the sorted pass (the
+    LZ4_loadDict table-seeding of lz4.c:944-948 has no analog to run —
+    the prefix bytes ARE in the candidate domain).  This is what lets
+    ONE huge linked frame be encoded data-parallel across a mesh with
+    full window ratio and zero communication: each shard's prefix is
+    simply the preceding 64 KB of input, which the host replicates into
+    the shard's rows.
+
+    Candidate deltas for the NS block lanes ride packed two per int32
+    (16-bit halves — deltas are <= 65535): the window vals + output row
+    leave no SMEM room for an unpacked row (chip cap is 1MB).
     """
     W = WINDOW + NS    # SMEM byte window per step
 
-    def kernel(slen_ref, prefix_ref, val_hbm, out_hbm, olen_ref,
-               vsmem, osmem, table, sem_in, sem_out):
+    def kernel(slen_ref, prefix_ref, val_hbm, d_hbm, out_hbm, olen_ref,
+               vsmem, dsmem, osmem, sem_in, sem_d, sem_out):
         s = pl.program_id(0)
         k = pl.program_id(1)
         nb = pl.num_programs(1)
         n = slen_ref[s * nb + k]
 
-        @pl.when(k == 0)
-        def _zero_table():
-            def z(i, _):
-                table[i] = -1
-                return 0
-            lax.fori_loop(0, HASH_SIZE, z, 0)
-
         cp_in = pltpu.make_async_copy(val_hbm.at[s, k], vsmem.at[:, 0:W],
                                       sem_in)
         cp_in.start()
+        cp_d = pltpu.make_async_copy(d_hbm.at[s, k],
+                                     dsmem.at[:, 0:NS // 2], sem_d)
+        cp_d.start()
         cp_in.wait()
+        cp_d.wait()
 
         start = k * WINDOW              # global position of block start
         base = start - WINDOW           # global position of SMEM lane 0
@@ -321,6 +395,10 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
         def byte(p):
             return vsmem[0, p - base] & 0xFF
 
+        def delta(p):
+            j = p - start
+            return (dsmem[0, j >> 1] >> ((j & 1) << 4)) & 0xFFFF
+
         copy_lit4, emit_ext, emit_seq, _emit_final = \
             make_emitters(val, osmem)
 
@@ -328,16 +406,6 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
         mflimit = n_end - 12
         matchlimit = n_end - 5
         low = start - prefix        # lowest readable global position
-
-        @pl.when(jnp.logical_and(k == 0, prefix > 0))
-        def _seed_prefix():
-            # LZ4_loadDict parity: insert every 3rd dictionary position
-            def ins(i, _):
-                p = low + 3 * i
-                table[_hash5(val(p), val(p + 4) & 0xFF)] = p
-                return 0
-            lax.fori_loop(0, jnp.maximum((prefix - 4) // 3 + 1, 0), ins, 0)
-
 
         def with_match(ip, op, anchor, scnt, q):
             def bcond(c):
@@ -366,8 +434,6 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
             def emit(ip, op, anchor, scnt):
                 op2 = emit_seq(op, anchor, mp - anchor, ip - q, ml - 4)
                 new_ip = mp + ml
-                p2 = new_ip - 2
-                table[_hash5(val(p2), val(p2 + 4) & 0xFF)] = p2
                 return (new_ip, op2, new_ip,
                         jnp.int32(acceleration << SKIP_TRIGGER))
 
@@ -376,25 +442,38 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
             # min-match knob: see _make_encode_kernel
             return lax.cond(ml >= min_match,
                             lambda: emit(ip, op, anchor, scnt),
-                            lambda: skip(ip, op, anchor, scnt))
+                            lambda: (ip + jnp.maximum(scnt >> SKIP_TRIGGER,
+                                                      reject_step),
+                                     op, anchor, scnt + 1))
 
         def skip(ip, op, anchor, scnt):
             step = scnt >> SKIP_TRIGGER
             return ip + step, op, anchor, scnt + 1
 
+        def probe_filter(ipx, q):
+            """See _make_encode_kernel.  The -4 candidate load may fall
+            below ``low``: backward extension is bounded by low/anchor
+            there anyway, so an arbitrary compare result cannot cause a
+            wrong accept-into-padding (the scan's with_match still
+            bounds every read)."""
+            if min_match < 11:
+                return jnp.bool_(True)
+            w1 = val(q + 4) == val(ipx + 4)
+            b1 = val(jnp.maximum(q - 4, low)) == val(ipx - 4)
+            return jnp.logical_or(w1, b1)
+
         def main_body(state):
             ip, op, anchor, scnt = state
-            h = _hash5(val(ip), val(ip + 4) & 0xFF)
-            e = table[h]
-            table[h] = ip
-            # clamp the candidate into the readable window before loading
-            qc = jnp.clip(e, low, n_end - 1)
+            d = delta(ip)
+            q = ip - d
+            # q >= low guards block 0's zero padding: a partial prefix
+            # leaves synthetic zero lanes below ``low`` whose val32
+            # equals real zero runs — matches must not reach them
             good = jnp.logical_and(
-                e >= low,
-                jnp.logical_and(ip - e <= 65535, val(qc) == val(ip)))
-
+                jnp.logical_and(d > 0, q >= low),
+                probe_filter(ip, q))
             return lax.cond(good,
-                            lambda: with_match(ip, op, anchor, scnt, qc),
+                            lambda: with_match(ip, op, anchor, scnt, q),
                             lambda: skip(ip, op, anchor, scnt))
 
         def main_cond(state):
@@ -423,29 +502,38 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("NS", "M", "acceleration", "interpret",
-                                    "min_match"))
+                                    "min_match", "reject_step"))
 def _encode_blocks_linked(val_rows, slen, prefix, *, NS, M, acceleration,
-                          interpret, min_match=4):
+                          interpret, min_match=4, reject_step=1):
     S, NB = val_rows.shape[0], val_rows.shape[1]
     W = WINDOW + NS
+    # candidate deltas over the whole [window | block] row — candidates
+    # reach into the previous block / dictionary prefix by construction;
+    # only the NS block lanes ship to the kernel, packed 2 per int32
+    d_full = cand_delta_rows(val_rows.reshape(S * NB, W))[:, WINDOW:]
+    dp = d_full.reshape(S, NB, NS // 2, 2)
+    d_rows = dp[..., 0] | (dp[..., 1] << 16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(S, NB),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.SMEM((1, W + 8), jnp.int32),
+            pltpu.SMEM((1, NS // 2 + 8), jnp.int32),
             pltpu.SMEM((1, M + 8), jnp.int32),
-            pltpu.SMEM((HASH_SIZE,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out, olen = pl.pallas_call(
-        _make_encode_linked_kernel(NS, M, acceleration, min_match),
+        _make_encode_linked_kernel(NS, M, acceleration, min_match,
+                                   reject_step),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((S, NB, 1, M), jnp.int32),
@@ -453,14 +541,15 @@ def _encode_blocks_linked(val_rows, slen, prefix, *, NS, M, acceleration,
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(slen.reshape(S * NB), prefix, val_rows.reshape(S, NB, 1, W))
+    )(slen.reshape(S * NB), prefix, val_rows.reshape(S, NB, 1, W),
+      d_rows.reshape(S, NB, 1, NS // 2))
     return out.reshape(S, NB, M), olen.reshape(S, NB)
 
 
 def encode_blocks_linked(val32_rows: jax.Array, src_lens: jax.Array,
                          acceleration: int = 1,
                          prefix_lens: jax.Array | None = None,
-                         min_match: int = 4):
+                         min_match: int = 4, reject_step: int = 1):
     """Compress streams of linked 64 KB blocks (device streaming mode).
 
     Args:
@@ -472,6 +561,7 @@ def encode_blocks_linked(val32_rows: jax.Array, src_lens: jax.Array,
       prefix_lens: optional [S] int32 dictionary-prefix length for each
         stream's first block (0 or 65536; the prefix bytes live in row
         (s, 0)'s leading window lanes).
+      min_match / reject_step: see ``encode_blocks``.
 
     Returns (out [S, NB, M] int32 bytes, olen [S, NB]).
     """
@@ -486,4 +576,5 @@ def encode_blocks_linked(val32_rows: jax.Array, src_lens: jax.Array,
                                  prefix_lens.astype(jnp.int32),
                                  NS=NS, M=M, acceleration=int(acceleration),
                                  interpret=on_cpu(),
-                                 min_match=int(min_match))
+                                 min_match=int(min_match),
+                                 reject_step=int(reject_step))

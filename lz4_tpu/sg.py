@@ -507,7 +507,8 @@ def _sg_decompress_device(in_bufs, out_caps, compressed_size, max_output):
     def collector(comp, out_cap, dict_):
         if len(comp) == 1 and comp == b"\x00":
             return b""           # empty block: contributes nothing
-        if out_cap > spec.WINDOW_SIZE or len(comp) > spec.WINDOW_SIZE + 512:
+        if out_cap > spec.SG_MAX_BLOCK_SIZE or \
+                len(comp) > spec.SG_MAX_BLOCK_SIZE + 512:
             raise _SgDeviceUnsupported()
         collected.append((bytes(comp), out_cap))
         return b"\x00" * out_cap  # stand-in: conformant blocks fill exactly
@@ -518,25 +519,45 @@ def _sg_decompress_device(in_bufs, out_caps, compressed_size, max_output):
         return total, [bytes(bytearray(c)) for c in out_caps]
 
     import jax.numpy as jnp
-    from .kernels.decode_kernel import decode_blocks_sg
     from .tpu import fetch_byte_rows
 
     sizes = [sz for _, sz in collected]
     if total != sum(sizes) or total > (1 << 30):
         raise _SgDeviceUnsupported()  # int32 offsets in the kernel
-    M = -(-max(len(c) for c, _ in collected) // 128) * 128
-    B = len(collected)
-    arr = np.zeros((B, M), np.int32)
-    lens = np.zeros((B,), np.int32)
-    for i, (c, _) in enumerate(collected):
-        arr[i, :len(c)] = np.frombuffer(c, np.uint8)
-        lens[i] = len(c)
-    out, olen = decode_blocks_sg(jnp.asarray(arr), jnp.asarray(lens), sizes)
-    olen = np.asarray(olen)
-    if (olen != np.asarray(sizes, olen.dtype)).any():
-        raise _SgDeviceUnsupported()  # host path re-derives exact errors
-    flat = fetch_byte_rows(out).reshape(-1)
-    content = bytes(flat[spec.WINDOW_SIZE:spec.WINDOW_SIZE + total])
+
+    if max(sizes) > spec.WINDOW_SIZE:
+        # large blocks (reference allows up to 4MB, lz4sg.c:544): run the
+        # whole chain through the ring-buffered stream kernel — its
+        # 128KB output ring always holds the 64KB match window, and
+        # linked=True carries it across block boundaries exactly like
+        # LZ4_decompress_safe_continue in the SG walk (lz4sg.c:611)
+        from .kernels.decode_kernel import decode_stream
+
+        bs = -(-max(sizes) // spec.WINDOW_SIZE) * spec.WINDOW_SIZE
+        out, olen = decode_stream([c for c, _ in collected], bs, total,
+                                  linked=True, out_caps=sizes)
+        olen = np.asarray(olen)
+        if (olen != np.asarray(sizes, olen.dtype)).any():
+            raise _SgDeviceUnsupported()  # host path gives exact errors
+        flat = fetch_byte_rows(out).reshape(-1)
+        content = bytes(flat[:total])
+    else:
+        from .kernels.decode_kernel import decode_blocks_sg
+
+        M = -(-max(len(c) for c, _ in collected) // 128) * 128
+        B = len(collected)
+        arr = np.zeros((B, M), np.int32)
+        lens = np.zeros((B,), np.int32)
+        for i, (c, _) in enumerate(collected):
+            arr[i, :len(c)] = np.frombuffer(c, np.uint8)
+            lens[i] = len(c)
+        out, olen = decode_blocks_sg(jnp.asarray(arr), jnp.asarray(lens),
+                                     sizes)
+        olen = np.asarray(olen)
+        if (olen != np.asarray(sizes, olen.dtype)).any():
+            raise _SgDeviceUnsupported()  # host path re-derives errors
+        flat = fetch_byte_rows(out).reshape(-1)
+        content = bytes(flat[spec.WINDOW_SIZE:spec.WINDOW_SIZE + total])
 
     outs = []
     pos = 0

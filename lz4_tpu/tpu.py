@@ -43,6 +43,16 @@ class DeviceLayoutUnsupported(Lz4FrameError):
     Lz4FrameError and must propagate (no redundant host re-decode)."""
 
 
+def _bucket_pow2(x: int, lo: int, hi: int) -> int:
+    """Round x up to a power of two in [lo, hi] (clamped to hi): trimmed
+    device fetches must not make jitted packing shapes data-dependent, or
+    every distinct payload size triggers a fresh XLA compile."""
+    n = lo
+    while n < x and n < hi:
+        n *= 2
+    return min(n, hi)
+
+
 def fetch_byte_rows(rows_i32) -> np.ndarray:
     """Fetch [B, M] int32 byte lanes from device as uint8, packing to real
     bytes on-device first: the host link moves 4x less data.
@@ -74,7 +84,8 @@ def _split_blocks(data: bytes, block_size: int) -> List[bytes]:
 # ---------------------------------------------------------------------------
 
 def encode_batch(buffers: List[bytes], block_size: int = BLOCK,
-                 acceleration: int = 1, min_match: int = 4):
+                 acceleration: int = 1, min_match: int = 4,
+                 reject_step: int = 1):
     """Compress a list of <=block_size buffers on device.
 
     Returns (comp_rows int32 np [B, M], comp_lens np [B]).
@@ -82,11 +93,13 @@ def encode_batch(buffers: List[bytes], block_size: int = BLOCK,
     packed, lens = np_pack_rows(buffers, block_size)
     val = bytes_to_val32_rows(jnp.asarray(packed), block_size)
     out, olen = encode_blocks(val, jnp.asarray(lens), acceleration,
-                              min_match=min_match)
+                              min_match=min_match,
+                              reject_step=reject_step)
     olen = np.asarray(olen)
-    # fetch only up to the longest payload: the host link is the
-    # bottleneck and the bound-padded tail is dead weight
-    maxb = -(-int(max(olen.max(initial=0), 4)) // 4) * 4
+    # fetch only up to the longest payload (the host link is the
+    # bottleneck), bucketed to powers of two so repeated chunked calls
+    # reuse compiled packing kernels instead of recompiling per size
+    maxb = _bucket_pow2(int(olen.max(initial=0)), 512, out.shape[1])
     return fetch_byte_rows(out[:, :maxb]), olen
 
 
@@ -181,7 +194,7 @@ def assemble_linked_frame(data: bytes, prefs: FramePreferences,
 
 
 def encode_stream_linked(data: bytes, acceleration: int = 1,
-                         min_match: int = 4):
+                         min_match: int = 4, reject_step: int = 1):
     """Compress one stream as a chain of linked 64 KB blocks on device.
 
     Returns (payloads, block_lens): per-block compressed bytes + their
@@ -199,7 +212,8 @@ def encode_stream_linked(data: bytes, acceleration: int = 1,
     nb = max(1, -(-len(data) // spec.WINDOW_SIZE))
     val, lens = linked_val_rows(data, 1, nb)
     out, olen = encode_blocks_linked(val, jnp.asarray(lens), acceleration,
-                                     min_match=min_match)
+                                     min_match=min_match,
+                                     reject_step=reject_step)
     outb = fetch_byte_rows(out[0])
     olen = np.asarray(olen[0])
     payloads = [outb[k, :olen[k]].tobytes() for k in range(nb)]
@@ -210,7 +224,8 @@ def compress_frame_device(data: bytes,
                           prefs: Optional[FramePreferences] = None,
                           block_size: int = BLOCK,
                           acceleration: int = 1,
-                          min_match: int = 4) -> bytes:
+                          min_match: int = 4,
+                          reject_step: int = 1) -> bytes:
     """One-shot frame compression with all block compute on TPU.
 
     Block-independent frames batch blocks over the Pallas grid; linked
@@ -223,7 +238,7 @@ def compress_frame_device(data: bytes,
               and block_size == spec.WINDOW_SIZE)
     if linked:
         return _compress_frame_device_linked(data, prefs, acceleration,
-                                             min_match)
+                                             min_match, reject_step)
     # When a linked frame was requested but the data fits one block (or the
     # block size is not the chain unit), blocks are compressed independently
     # — still a valid linked stream (no match ever crosses a boundary) — and
@@ -239,7 +254,7 @@ def compress_frame_device(data: bytes,
     data = bytes(data)
     blocks = _split_blocks(data, block_size)
     comp_rows, comp_lens = encode_batch(blocks, block_size, acceleration,
-                                        min_match)
+                                        min_match, reject_step)
 
     parts = [encode_frame_header(prefs)]
     pos = 0
@@ -267,7 +282,8 @@ def compress_frame_device(data: bytes,
 
 def _compress_frame_device_linked(data: bytes, prefs: FramePreferences,
                                   acceleration: int,
-                                  min_match: int = 4) -> bytes:
+                                  min_match: int = 4,
+                                  reject_step: int = 1) -> bytes:
     """Linked-frame assembly over the streaming encode kernel."""
     prefs.block_independent = False
     if prefs.block_size_id == 0:
@@ -279,7 +295,7 @@ def _compress_frame_device_linked(data: bytes, prefs: FramePreferences,
 
     data = bytes(data)
     payloads, block_lens = encode_stream_linked(data, acceleration,
-                                                min_match)
+                                                min_match, reject_step)
     return assemble_linked_frame(data, prefs, payloads, block_lens)
 
 
@@ -437,14 +453,24 @@ def _decompress_frame_device_stream(frame: bytes, info: FrameInfo):
     if not payloads:
         content = b""
     else:
-        cap = sum(h if h is not None else info.block_size
-                  for h in lens_hint)
-        out, olen = decode_stream(payloads, info.block_size, cap,
-                                  linked=not info.block_independent)
+        # per-block caps: stored blocks their exact length, compressed
+        # blocks the full block_size (a mid-stream flushed short block is
+        # legal LZ4F and must not starve later blocks' capacity)
+        caps = [h if h is not None else info.block_size
+                for h in lens_hint]
+        if sum(caps) + (1 << 19) >= 2 ** 31:
+            # stream kernel addresses output with int32 byte positions
+            raise DeviceLayoutUnsupported(
+                "frame content beyond the stream kernel's int32 envelope")
+        out, olen = decode_stream(payloads, info.block_size, sum(caps),
+                                  linked=not info.block_independent,
+                                  out_caps=caps)
         olen = np.asarray(olen)
         if (olen < 0).any():
-            raise Lz4FrameError(
-                f"device decode failed on block "
+            # could be corruption OR a layout the stream kernel does not
+            # model; the host codec decides (and gives precise errors)
+            raise DeviceLayoutUnsupported(
+                f"stream kernel rejected block "
                 f"{int(np.nonzero(olen < 0)[0][0])}")
         total = int(olen.sum())
         flat = fetch_byte_rows(out).reshape(-1)
@@ -479,7 +505,8 @@ class DeviceFrameCompressor:
     """
 
     def __init__(self, prefs: Optional[FramePreferences] = None,
-                 acceleration: int = 1, min_match: int = 4):
+                 acceleration: int = 1, min_match: int = 4,
+                 reject_step: int = 1):
         from .ops.xxhash_np import XXH32State
         self.prefs = dataclasses.replace(prefs) if prefs \
             else FramePreferences()
@@ -488,6 +515,7 @@ class DeviceFrameCompressor:
             self.prefs.block_size_id = 4
         self.acceleration = acceleration
         self.min_match = min_match
+        self.reject_step = reject_step
         self._tail = b""        # last 64KB of content (window carry)
         self._buf = b""         # sub-block input remainder
         self._xxh = XXH32State(0)
@@ -526,9 +554,10 @@ class DeviceFrameCompressor:
         out, olen = encode_blocks_linked(val, jnp.asarray(lens),
                                          self.acceleration,
                                          prefix_lens=prefix_lens,
-                                         min_match=self.min_match)
+                                         min_match=self.min_match,
+                                         reject_step=self.reject_step)
         olen = np.asarray(olen[0])
-        maxb = -(-int(max(olen.max(initial=0), 4)) // 4) * 4
+        maxb = _bucket_pow2(int(olen.max(initial=0)), 512, out.shape[-1])
         outb = fetch_byte_rows(out[0][:, :maxb])
         payloads = [outb[k, :olen[k]].tobytes() for k in range(nb)]
         parts = []
@@ -592,6 +621,15 @@ def compress_frame_device_hc(data: bytes,
     from .kernels.hc_kernel import encode_blocks_hc
 
     prefs = dataclasses.replace(prefs) if prefs else FramePreferences()
+    if not prefs.block_independent:
+        # linked HC is not on the device path yet (the HC kernel is
+        # per-block); surface the demotion instead of silently flipping
+        # the frame mode (ADVICE r2) — callers wanting linked -9 -BD
+        # bytes can use hc.HcCompressStream (host)
+        import warnings
+        warnings.warn("device HC emits block-independent frames; "
+                      "linked (-BD) HC demoted to independent blocks",
+                      stacklevel=2)
     prefs.block_independent = True
     if prefs.block_size_id == 0:
         prefs.block_size_id = 4

@@ -66,6 +66,45 @@ def test_reference_cli_files_decode_on_device(args):
     assert out == data
 
 
+def test_stream_decode_short_midstream_block():
+    """A flushed (shorter than block_size) mid-stream block is legal LZ4F:
+    every block must keep its full block_size output cap — a draining
+    capacity pool starved later blocks and failed valid frames (ADVICE
+    r2).  Also covers the frame path end-to-end."""
+    import struct
+
+    from lz4_tpu import spec as _spec
+    from lz4_tpu.frame import FramePreferences, encode_frame_header
+
+    BS = 262144
+    chunks = [gen_buffer(BS, 0.97, 21), gen_buffer(1000, 0.97, 22),
+              gen_buffer(BS, 0.97, 23)]
+    payloads = [compress_block(c) for c in chunks]
+    # kernel-level: per-block caps default to block_size each
+    out, olen = decode_stream(payloads, BS, sum(len(c) for c in chunks),
+                              linked=False)
+    assert (np.asarray(olen) == [len(c) for c in chunks]).all()
+    flat = np.asarray(out).astype(np.uint8).reshape(-1)
+    assert bytes(flat[:sum(len(c) for c in chunks)]) == b"".join(chunks)
+
+    # frame-level: mid-stream short STORED block (exact-length cap hint)
+    prefs = FramePreferences(block_size_id=5, block_independent=True)
+    parts = [encode_frame_header(prefs)]
+    for i, c in enumerate(chunks):
+        if i == 1:
+            parts.append(struct.pack("<I",
+                                     len(c) | _spec.UNCOMPRESSED_BIT))
+            parts.append(c)
+        else:
+            parts.append(struct.pack("<I", len(payloads[i])))
+            parts.append(payloads[i])
+    parts.append(struct.pack("<I", 0))
+    frame = b"".join(parts)
+    got, used = decompress_frame_device(frame)
+    assert got == b"".join(chunks)
+    assert used == len(frame)
+
+
 def test_stream_decode_corruption_verdict_parity():
     """Mutated blocks: the stream kernel's accept/reject verdict (and, on
     accept, the decoded length) matches the host oracle's — a bit flip may
