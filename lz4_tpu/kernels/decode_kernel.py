@@ -697,7 +697,10 @@ def _make_stream_decode_kernel(linked: bool):
         def ostore(r, row):
             """Store an output ring row; ring row 0 is mirrored at index
             2*PAGE_ROWS so window loads can be one contiguous [2,128]
-            read even across the wrap."""
+            read even across the wrap
+ (a second
+            unconditional dynamic store was measured SLOWER than this
+            rarely-taken branch: dyn-sublane stores cost ~13ns)."""
             ovmem[pl.ds(r, 1), :] = row
 
             @pl.when(r == 0)
@@ -888,8 +891,21 @@ def _make_stream_decode_kernel(linked: bool):
 
         def seq_body(st2):
             ip, opos, status, carry, hi, fl = st2
-            hi = ensure(ip, hi)       # covers token + 12 literals + LE16
-                                      # + the terminal ext byte (<= +16)
+            # The page check rides the loop as a RARE branch instead of an
+            # inline while_loop: an inner loop in the hot body forces the
+            # carry vector and scalars through spill slots every sequence
+            # (measured ~1.8x).  refill() makes no parse progress — it
+            # pages the ring and the next iteration re-enters with the
+            # bytes resident.
+            def refill():
+                return (ip, opos, status, carry, ensure(ip, hi), fl)
+
+            def work():
+                return seq_work(ip, opos, status, carry, hi, fl)
+
+            return lax.cond(ip + 20 <= hi, work, refill)
+
+        def seq_work(ip, opos, status, carry, hi, fl):
             v = sval(ip)
             token = v & 0xFF
             ll = token >> 4

@@ -1,23 +1,31 @@
 """Pallas TPU high-compression (HC) block encoder.
 
-Chain-table match finder with a one-step lazy parse, batched over blocks
-via the grid.  Parity model: reference lz4hc.c — 32K-entry hash into a
-64K chain of u16 deltas (`LZ4HC_Insert`, lz4hc.c:138-157), candidate walk
-bounded by ``maxNbAttempts = 1 << (level - 1)`` (lz4hc.c:374-376),
-backward extension (lz4hc.c:238-244), and a lazy overlap check at ip+1
-(the core of `_Search2`, lz4hc.c:342-529; the device kernel uses the
-single-step lazy variant, so its parse can differ from lz4hc.c's
-three-state machine while staying firmly ahead of the fast encoder's
-ratio — the bit-parity implementation is the host `lz4_tpu.hc`).
+Chain match finder with a one-step lazy parse, batched over blocks via
+the grid.  Parity model: reference lz4hc.c — candidate chains per
+position (`LZ4HC_Insert`, lz4hc.c:138-157), walk bounded by
+``maxNbAttempts = 1 << (level - 1)`` (lz4hc.c:374-376), forward +
+backward scoring (LZ4HC_InsertAndGetWiderMatch, lz4hc.c:214-288), lazy
+deferral (lz4hc.c:342-529).  The bit-parity implementation is the host
+``lz4_tpu.hc``; this kernel targets ratio parity at device speed.
 
-TPU-shaped choices:
-* every structure lives in SMEM; the chain table holds full int32
-  positions tagged with the block index (like the fast kernel), so stale
-  cross-block entries never validate and nothing is re-zeroed per block —
-  a 256 KB memset per 64 KB block would dominate the runtime.
-* match candidates are content-verified (val32 compare), so hash/chain
-  collisions — including stale-delta artifacts — only cost attempts.
-* forward extension reuses the branchless XOR tail count.
+TPU-shaped choices (round 3):
+* The chain is PRECOMPUTED by the VPU as a sorted-candidate pass
+  (encode_kernel.cand_delta4_rows): delta[p] = distance to the nearest
+  previous position with the same 4 bytes.  Walking ``p - d[p] - d[.]
+  - ...`` enumerates exactly the true 4-byte-match candidates, newest
+  first — the same order a collision-free version of lz4hc.c's hash
+  chain would produce, denser than its 15-bit-hash chains.  The scalar
+  loop therefore has NO hash table, NO chain maintenance, and no
+  interior re-insert loop after matches (lz4hc.c:146-156's role is
+  subsumed: every position already has its delta).
+* Each attempt pays full extension only if it can beat the best so far:
+  prune when the word at ``cand + best - 3`` differs AND the byte before
+  the candidate differs (then fwd <= best and backward = 0, so its score
+  cannot exceed best) — the lossless analog of lz4hc.c:183-187.
+* The walk stops early once best >= SUFFICIENT_LEN (64): on long-match
+  data deeper candidates almost never pay (role of lz4hc.c's OPTIMAL_ML
+  trimming, :428-441).  This is the one lossy knob; the ratio gate
+  (tests/test_hc_kernel.py, 0.5% of lz4hc.c) bounds its cost.
 """
 
 from __future__ import annotations
@@ -34,43 +42,45 @@ from .common import on_cpu
 from .emit import make_emitters
 from ..spec import compress_bound
 
-HASH_LOG = 15                 # lz4hc.c:83 HASH_LOG 15
-HASH_SIZE = 1 << HASH_LOG
-POS_BITS = 18
-POS_MASK = (1 << POS_BITS) - 1
-CHAIN_SIZE = 1 << 16          # lz4hc.c:79 DICTIONARY_LOGSIZE 16
-
-MAX_BLOCK = 1 << 16           # one 64KB block per chain-table window
+MAX_BLOCK = 1 << 16           # one 64KB block per window
 DEFAULT_LEVEL = 9
+import os as _os
+SUFFICIENT_LEN = int(_os.environ.get("LZ4T_HC_SUFF", "64"))
 
 
-def _hash4(v32):
-    """15-bit 4-byte hash (role of lz4hc.c HASH_FUNCTION, :85)."""
-    return ((v32 * jnp.int32(-1640531535)) >> (32 - HASH_LOG)) \
-        & (HASH_SIZE - 1)
+@jax.jit
+def cand_delta4_rows(val: jax.Array) -> jax.Array:
+    """[B, N] val32 rows -> [B, N] int32 deltas to the nearest previous
+    position with the same 4 bytes (0 = none within 65535).  4-byte key:
+    HC chains must enumerate every 4-byte match (lz4hc.c hashes 4 bytes,
+    :85), unlike the fast path's 5-byte bias."""
+    B, N = val.shape
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    sk, sp = lax.sort((val, pos), dimension=1, num_keys=2)
+    same = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), sk[:, 1:] == sk[:, :-1]], axis=1)
+    prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), sp[:, :-1]], axis=1)
+    d = jnp.where(same, sp - prev, 0)
+    d = jnp.where(d <= 65535, d, 0)
+    _, dd = lax.sort((sp, d), dimension=1, num_keys=1)
+    return dd
 
 
 def _make_hc_kernel(NS: int, M: int, max_attempts: int):
-    def kernel(slen_ref, val_hbm, out_hbm, olen_ref,
-               vsmem, osmem, htab, chain, sem_in, sem_out):
+    def kernel(slen_ref, val_hbm, d_hbm, out_hbm, olen_ref,
+               vsmem, dsmem, osmem, sem_in, sem_d, sem_out):
         b = pl.program_id(0)
         n = slen_ref[b]
-        # wrap tags at 8192 blocks and re-zero on wrap (int32 overflow)
-        bt = b & 8191
-
-        @pl.when(bt == 0)
-        def _zero():
-            def z(i, _):
-                htab[i] = -1
-                return 0
-            lax.fori_loop(0, HASH_SIZE, z, 0)
 
         cp_in = pltpu.make_async_copy(val_hbm.at[b], vsmem.at[:, 0:NS],
                                       sem_in)
         cp_in.start()
+        cp_d = pltpu.make_async_copy(d_hbm.at[b], dsmem.at[:, 0:NS],
+                                     sem_d)
+        cp_d.start()
         cp_in.wait()
-
-        tag = bt << POS_BITS
+        cp_d.wait()
 
         def val(p):
             return vsmem[0, p]
@@ -78,19 +88,8 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
         def byte(p):
             return vsmem[0, p] & 0xFF
 
-        def insert(p):
-            """LZ4HC_Insert one position (lz4hc.c:138-157); idempotent —
-            re-inserting the chain head keeps its true link instead of
-            writing a self-delta that would sever the chain."""
-            h = _hash4(val(p))
-            e = htab[h]
-            prev = e & POS_MASK
-            fresh = jnp.logical_and((e >> POS_BITS) == bt, e >= 0)
-            already = jnp.logical_and(fresh, prev == p)
-            delta = jnp.where(fresh, jnp.clip(p - prev, 1, 65535),
-                              jnp.int32(65535))
-            chain[p] = jnp.where(already, chain[p], delta)
-            htab[h] = tag | p
+        def delta(p):
+            return dsmem[0, p]
 
         mflimit = n - 12
         matchlimit = n - 5
@@ -109,60 +108,62 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
             return jnp.minimum(ml + tail, matchlimit - p)
 
         def search(p, anchor):
-            """Insert p, then walk its chain for the *widest* match.
-
-            Candidates are scored forward + backward extension
-            (LZ4HC_InsertAndGetWiderMatch, lz4hc.c:214-288), which is what
-            lets the lazy step prefer matches that reach back over the
-            pending literals.  Returns (score, fwd_len, best_pos);
-            score < 4 means none.
-            """
-            h = _hash4(val(p))
-            e = htab[h]
-            cand0 = e & POS_MASK
-            fresh = jnp.logical_and((e >> POS_BITS) == bt, e >= 0)
-            cand0 = jnp.where(fresh, cand0, p)  # p = sentinel: stops walk
+            """Walk p's candidate chain for the *widest* match
+            (forward + backward score).  Returns (score, fwd_len,
+            best_pos); score < 4 means none."""
+            cand0 = p - delta(p)
+            cand0 = jnp.where(delta(p) > 0, cand0, p)  # p = stop sentinel
 
             def cond(st):
                 att, cand, bs_, bf, bp = st
-                # stale chain deltas may throw cand anywhere: stop on any
-                # out-of-window value (candidates are content-verified, so
-                # stale-but-in-window ones only cost attempts)
                 return jnp.logical_and(
-                    jnp.logical_and(att > 0, cand >= 0),
-                    jnp.logical_and(cand < p, p - cand <= 65535))
+                    jnp.logical_and(att > 0, bs_ < SUFFICIENT_LEN),
+                    jnp.logical_and(cand >= 0,
+                                    jnp.logical_and(cand < p,
+                                                    p - cand <= 65535)))
 
             def body(st):
                 att, cand, bs_, bf, bp = st
                 candc = jnp.maximum(cand, 0)
-                ok4 = val(candc) == val(p)
+                # beat-gate (lossless): this candidate can only exceed
+                # the best score if its bytes still match at the best
+                # frontier, or it can extend backward.  The frontier
+                # probe is clamped to matchlimit (fwd is clamped there
+                # too, so a mismatch at the clamp still bounds fwd)
+                gpos = jnp.clip(bs_ - 3, 0, matchlimit - p - 1)
+                fwd_ok = val(candc + gpos) == val(p + gpos)
+                bwd_ok = jnp.logical_and(
+                    jnp.logical_and(p > anchor, candc > 0),
+                    byte(candc - 1) == byte(p - 1))
 
                 def score():
-                    fwd = extend(cand, p, jnp.int32(4))
+                    fwd = extend(candc, p, jnp.int32(4))
 
                     def bcond(k):
                         return jnp.logical_and(
-                            jnp.logical_and(p - k > anchor, cand - k > 0),
-                            byte(p - k - 1) == byte(cand - k - 1))
+                            jnp.logical_and(p - k > anchor,
+                                            candc - k > 0),
+                            byte(p - k - 1) == byte(candc - k - 1))
 
                     back = lax.while_loop(bcond, lambda k: k + 1,
                                           jnp.int32(0))
                     return fwd + back, fwd
 
                 sc, fwd = lax.cond(
-                    ok4, score, lambda: (jnp.int32(0), jnp.int32(0)))
+                    jnp.logical_or(fwd_ok, bwd_ok), score,
+                    lambda: (jnp.int32(0), jnp.int32(0)))
                 better = sc > bs_
                 bs_ = jnp.where(better, sc, bs_)
                 bf = jnp.where(better, fwd, bf)
                 bp = jnp.where(better, cand, bp)
-                step = chain[candc]
-                return att - 1, cand - step, bs_, bf, bp
+                step = delta(candc)
+                nxt = jnp.where(step > 0, cand - step, p)  # 0 ends chain
+                return att - 1, nxt, bs_, bf, bp
 
             _, _, bs_, bf, bp = lax.while_loop(
                 cond, body,
                 (jnp.int32(max_attempts), cand0, jnp.int32(0),
                  jnp.int32(0), jnp.int32(0)))
-            insert(p)
             return bs_, bf, bp
 
         # emission: shared wire-format emitters (kernels/emit.py)
@@ -189,12 +190,6 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
             ml = ml + (ip - mp)
             op2 = emit_seq(op, anchor, mp - anchor, ip - mpos, ml - 4)
             new_ip = mp + ml
-            # insert interior positions so later chains see this region
-            # (LZ4HC_Insert over the match span, lz4hc.c:146-156)
-            def ins(p, _):
-                insert(p)
-                return 0
-            lax.fori_loop(ip + 1, jnp.minimum(new_ip, mflimit + 1), ins, 0)
             return new_ip, op2, new_ip
 
         def main_body(state):
@@ -247,19 +242,21 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
                    static_argnames=("NS", "M", "max_attempts", "interpret"))
 def _encode_blocks_hc(val_rows, slen, *, NS, M, max_attempts, interpret):
     B = val_rows.shape[0]
+    d_rows = cand_delta4_rows(val_rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.SMEM((1, NS + 8), jnp.int32),
+            pltpu.SMEM((1, NS + 8), jnp.int32),
             pltpu.SMEM((1, M + 8), jnp.int32),
-            pltpu.SMEM((HASH_SIZE,), jnp.int32),
-            pltpu.SMEM((CHAIN_SIZE,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -273,7 +270,7 @@ def _encode_blocks_hc(val_rows, slen, *, NS, M, max_attempts, interpret):
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(slen, val_rows.reshape(B, 1, NS))
+    )(slen, val_rows.reshape(B, 1, NS), d_rows.reshape(B, 1, NS))
     return out.reshape(B, M), olen
 
 

@@ -32,7 +32,8 @@ from ..kernels.encode_kernel import bytes_to_val32_rows, encode_blocks
 
 __all__ = [
     "initialize", "global_mesh", "global_blocks",
-    "encode_blocks_multihost", "frame_segment", "process_block_range",
+    "encode_blocks_multihost", "decode_blocks_multihost",
+    "decoded_segment", "frame_segment", "process_block_range",
 ]
 
 
@@ -97,6 +98,55 @@ def encode_blocks_multihost(mesh: Mesh, words_global: jax.Array,
     comp, all_len = mapped(words_global, lens_global)
     # the replicated output's addressable shard holds the full vector
     return comp, np.asarray(all_len.addressable_shards[0].data)
+
+
+def decode_blocks_multihost(mesh: Mesh, comp_global: jax.Array,
+                            clens_global: jax.Array, out_cap: int):
+    """Decompress a globally-sharded batch of independent blocks (one
+    frame's blocks row-sharded over all processes' devices).  Decoded
+    lengths are all-gathered (every process knows every block's size for
+    ordered reassembly); decoded rows stay process-local.
+
+    Returns (out_rows global array [B, out_cap], olen np [B] replicated).
+    """
+    from ..kernels.decode_kernel import decode_blocks
+
+    def step(comp, ln):
+        out, olen = decode_blocks(comp, ln, out_cap)
+        all_olen = jax.lax.all_gather(olen, AXIS, tiled=True)
+        return out, all_olen
+
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS)),
+        out_specs=(P(AXIS, None), P()),
+        check_vma=False,
+    )
+    out, all_olen = mapped(comp_global, clens_global)
+    return out, np.asarray(all_olen.addressable_shards[0].data)
+
+
+def decoded_segment(out_global: jax.Array, olen_np: np.ndarray,
+                    lo: int, hi: int) -> bytes:
+    """This process's decoded bytes for blocks [lo, hi), in order (its
+    segment of the reassembled content)."""
+    from ..tpu import fetch_byte_rows
+
+    shards = sorted(out_global.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    parts: List[bytes] = []
+    for sh in shards:
+        start = sh.index[0].start or 0
+        rows = None
+        for j in range(sh.data.shape[0]):
+            g = start + j
+            if g < lo or g >= hi or int(olen_np[g]) <= 0:
+                continue
+            if rows is None:
+                cap4 = sh.data.shape[1] - sh.data.shape[1] % 4
+                rows = fetch_byte_rows(sh.data[:, :cap4])
+            parts.append(rows[j, :olen_np[g]].tobytes())
+    return b"".join(parts)
 
 
 def frame_segment(comp_global: jax.Array, lens_np: np.ndarray,

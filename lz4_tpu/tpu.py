@@ -253,6 +253,28 @@ def compress_frame_device(data: bytes,
 
     data = bytes(data)
     blocks = _split_blocks(data, block_size)
+
+    if not prefs.block_checksum:
+        # device-side assembly: headers + payloads (with the stored-block
+        # fallback) are packed into ONE contiguous buffer by the pack
+        # kernel — a single fetch replaces the per-block Python joins
+        # (reference writes blocks in place, lz4frame.c:511-525)
+        from .kernels.pack_kernel import pack_frame_payloads
+
+        packed, lens = np_pack_rows(blocks, block_size)
+        val = bytes_to_val32_rows(jnp.asarray(packed), block_size)
+        out, olen = encode_blocks(val, jnp.asarray(lens), acceleration,
+                                  min_match=min_match,
+                                  reject_step=reject_step)
+        flat, total, _stored = pack_frame_payloads(out, olen, val, lens)
+        rb = _bucket_pow2(-(-total // 128), 512, flat.shape[0])
+        body = fetch_byte_rows(flat[:rb]).reshape(-1)[:total].tobytes()
+        parts = [encode_frame_header(prefs), body,
+                 struct.pack("<I", 0)]
+        if prefs.content_checksum:
+            parts.append(struct.pack("<I", xxh32_fast(data, 0)))
+        return b"".join(parts)
+
     comp_rows, comp_lens = encode_batch(blocks, block_size, acceleration,
                                         min_match, reject_step)
 
@@ -294,6 +316,30 @@ def _compress_frame_device_linked(data: bytes, prefs: FramePreferences,
         raise Lz4FrameError("content_size does not match data")
 
     data = bytes(data)
+    if not prefs.block_checksum:
+        # device-side assembly (see the independent path): the linked
+        # chain's blocks pack into one buffer; the stored-block fallback
+        # ships the plaintext from the val rows' block lanes, preserving
+        # the next block's window exactly like assemble_linked_frame
+        from .kernels.pack_kernel import pack_frame_payloads
+
+        nb = max(1, -(-len(data) // spec.WINDOW_SIZE))
+        val, lens = linked_val_rows(data, 1, nb)
+        out, olen = encode_blocks_linked(val, jnp.asarray(lens),
+                                         acceleration,
+                                         min_match=min_match,
+                                         reject_step=reject_step)
+        flat, total, _stored = pack_frame_payloads(
+            out.reshape(nb, -1), olen.reshape(nb),
+            val[0, :, spec.WINDOW_SIZE:], lens[0])
+        rb = _bucket_pow2(-(-total // 128), 512, flat.shape[0])
+        body = fetch_byte_rows(flat[:rb]).reshape(-1)[:total].tobytes()
+        parts = [encode_frame_header(prefs), body,
+                 struct.pack("<I", 0)]
+        if prefs.content_checksum:
+            parts.append(struct.pack("<I", xxh32_fast(data, 0)))
+        return b"".join(parts)
+
     payloads, block_lens = encode_stream_linked(data, acceleration,
                                                 min_match, reject_step)
     return assemble_linked_frame(data, prefs, payloads, block_lens)
@@ -551,12 +597,23 @@ class DeviceFrameCompressor:
                                   2 * BS).reshape(1, nb, 2 * BS)
         prefix_lens = jnp.asarray(
             np.asarray([len(prefix)], np.int32))
-        out, olen = encode_blocks_linked(val, jnp.asarray(lens),
-                                         self.acceleration,
-                                         prefix_lens=prefix_lens,
-                                         min_match=self.min_match,
-                                         reject_step=self.reject_step)
-        olen = np.asarray(olen[0])
+        out, olen_d = encode_blocks_linked(val, jnp.asarray(lens),
+                                           self.acceleration,
+                                           prefix_lens=prefix_lens,
+                                           min_match=self.min_match,
+                                           reject_step=self.reject_step)
+        if not self.prefs.block_checksum:
+            # device-side assembly (kernels/pack_kernel.py): one packed
+            # fetch per chunk instead of per-block joins
+            from .kernels.pack_kernel import pack_frame_payloads
+
+            flat, total, _stored = pack_frame_payloads(
+                out.reshape(nb, -1), olen_d.reshape(nb),
+                val[0, :, BS:], lens[0])
+            rb = _bucket_pow2(-(-total // 128), 512, flat.shape[0])
+            return fetch_byte_rows(flat[:rb]).reshape(-1)[:total] \
+                .tobytes()
+        olen = np.asarray(olen_d[0])
         maxb = _bucket_pow2(int(olen.max(initial=0)), 512, out.shape[-1])
         outb = fetch_byte_rows(out[0][:, :maxb])
         payloads = [outb[k, :olen[k]].tobytes() for k in range(nb)]

@@ -75,9 +75,34 @@ def main():
             f.write(struct.pack("<I", 0) + struct.pack("<I", xxh32(data, 0)))
         with open(os.path.join(outdir, "plain.bin"), "wb") as f:
             f.write(data)
+    # ---- decode direction (VERDICT r2 weak #6): the same frame's
+    # blocks, row-sharded over both processes' devices, decoded through
+    # the shard-mapped kernel with an olen all-gather; each process
+    # writes its decoded segment for the test to splice
+    from lz4_tpu.ops.block_np import compress_block
+    comp_blocks = [compress_block(b) for b in blocks]
+    M = max(len(c) for c in comp_blocks)
+    M = -(-M // 128) * 128
+    rows_local = np.zeros((hi - lo, M), np.int32)
+    clens_local = np.zeros((hi - lo,), np.int32)
+    for j, c in enumerate(comp_blocks[lo:hi]):
+        rows_local[j, :len(c)] = np.frombuffer(c, np.uint8)
+        clens_local[j] = len(c)
+    comp_g = mh.global_blocks(mesh, rows_local)
+    clens_g = jax.make_array_from_process_local_data(
+        jax.sharding.NamedSharding(mesh,
+                                   jax.sharding.PartitionSpec("blocks")),
+        clens_local)
+    out_g, all_olen = mh.decode_blocks_multihost(mesh, comp_g, clens_g, BS)
+    assert (all_olen == [len(b) for b in blocks]).all(), all_olen
+    dec = mh.decoded_segment(out_g, all_olen, lo, hi)
+    with open(os.path.join(outdir, f"dec{pid}.bin"), "wb") as f:
+        f.write(dec)
+
     with open(os.path.join(outdir, f"done{pid}"), "w") as f:
         f.write(f"{wall:.4f}")
-    print(f"proc {pid}: blocks [{lo},{hi}) seg {len(seg)}B wall {wall:.3f}s")
+    print(f"proc {pid}: blocks [{lo},{hi}) seg {len(seg)}B "
+          f"dec {len(dec)}B wall {wall:.3f}s")
 
 
 if __name__ == "__main__":

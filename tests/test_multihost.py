@@ -61,6 +61,12 @@ def test_two_process_mesh_compress(tmp_path):
     content, _ = decompress_frame(frame)
     assert content == data
 
+    # decode direction: the per-process decoded segments splice back to
+    # the original content (shard-mapped decode + olen all-gather)
+    dec = ((tmp_path / "dec0.bin").read_bytes()
+           + (tmp_path / "dec1.bin").read_bytes())
+    assert dec == data
+
     from . import oracle
     if oracle.available():
         assert oracle.ref_decompress_frame(frame, len(data)) == data
