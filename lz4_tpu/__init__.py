@@ -15,4 +15,16 @@ Capability map to the reference (`infidob/lz4`, r132 + LZ4_SG fork):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Some site customizations (e.g. the axon TPU plugin) re-select their
+    # platform at interpreter startup even when the user exported
+    # JAX_PLATFORMS; re-assert the user's explicit choice before any
+    # backend is initialized so a down/absent accelerator cannot hang a
+    # CPU-requested run.  No-op when jax already honors the env var.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from . import spec  # noqa: F401

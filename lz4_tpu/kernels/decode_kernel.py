@@ -314,6 +314,102 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
                     status.astype(jnp.int32), carry)
 
+        # --------------------------------------------------------------
+        # mid path: like fast_seq but the sequence's output may cross ONE
+        # 128-byte row boundary (total <= 251 bytes).  At min_match >= 12
+        # a large share of sequences cross a row — (ll+mlen)/128 per
+        # sequence, and nearly all LONG matches — and the general path's
+        # per-chunk loops cost ~3x.  One [3,128] window roll covers both
+        # destination rows (rolls cost flat at any shape, cost model in
+        # docs/ARCHITECTURE.md), and the row-2 merges reuse the same
+        # broadcast words with lane starts shifted by -128 (mask clipping
+        # makes out-of-row merges empty).
+        # --------------------------------------------------------------
+
+        def mid_seq(ip, opos, carry, token, ll, ml_nib, cpos,
+                    mlen, offset, ip_adv):
+            ip1 = ip + 1
+            ipm = ip1 + ll
+            opos1 = opos + ll
+            cpos1 = cpos + ll        # may reach 139 (literal crossing)
+            opos2 = opos1 + mlen
+
+            w0 = sval(ip1)
+            wa = sval(ip1 + 4)
+            wb = sval(ip1 + 8)
+            carry2 = ZERO
+            sh = jnp.clip(lane - cpos, 0, 3) * 8
+            carry = merge(carry, (w0 >> sh) & 0xFF, cpos,
+                          jnp.minimum(ll, 4))
+            sh2 = jnp.clip(lane - (cpos + 4), 0, 3) * 8
+            carry = merge(carry, (wa >> sh2) & 0xFF, cpos + 4,
+                          jnp.clip(ll - 4, 0, 4))
+            sh3 = jnp.clip(lane - (cpos + 8), 0, 3) * 8
+            carry = merge(carry, (wb >> sh3) & 0xFF, cpos + 8,
+                          jnp.clip(ll - 8, 0, 4))
+            # row-2 copies of the same merges (starts shifted by -128)
+            shb = jnp.clip(lane - (cpos - 128), 0, 3) * 8
+            carry2 = merge(carry2, (w0 >> shb) & 0xFF, cpos - 128,
+                           jnp.minimum(ll, 4))
+            shb2 = jnp.clip(lane - (cpos - 124), 0, 3) * 8
+            carry2 = merge(carry2, (wa >> shb2) & 0xFF, cpos - 124,
+                           jnp.clip(ll - 4, 0, 4))
+            shb3 = jnp.clip(lane - (cpos - 120), 0, 3) * 8
+            carry2 = merge(carry2, (wb >> shb3) & 0xFF, cpos - 120,
+                           jnp.clip(ll - 8, 0, 4))
+
+            ended = ipm == n
+            ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
+
+            # flush both possibly-written rows so the match window sees
+            # every byte < opos1, then rebase so the match's first
+            # destination lane is < 128
+            r_a = (opos >> 7) + OUT0
+            ovmem[pl.ds(r_a, 1), :] = carry
+            cross_l = cpos1 >= 128
+
+            @pl.when(cross_l)
+            def _():
+                ovmem[pl.ds(r_a + 1, 1), :] = carry2
+
+            c = cpos1 - jnp.where(cross_l, 128, 0)
+            r1 = r_a + jnp.where(cross_l, 1, 0)
+            carry = jnp.where(cross_l, carry2, carry)
+            carry2 = jnp.where(cross_l, ZERO, carry2)
+
+            a = jnp.clip(opos1 - offset + OBASE - c,
+                         -128, 128 * (PR + NR - 1))
+            f = a >> 7
+            sl = a & 127
+            w = ovmem[pl.ds(f + 1, 3), :]
+            rot = pltpu.roll(w, -sl, axis=1)
+            v1 = jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
+            v2 = jnp.where(lane < 128 - sl, rot[1:2], rot[2:3])
+            mcarry = merge(carry, v1, c, mlen)
+            mcarry2 = merge(carry2, v2, c - 128, mlen)
+
+            ok_m = jnp.logical_and(
+                jnp.logical_and(ok_l, ip_adv <= n),
+                jnp.logical_and(offset > 0, offset <= opos1 + plen))
+            ok_m = jnp.logical_and(ok_m, opos2 <= olim)
+
+            do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
+            cross_m = jnp.logical_and(do_match, c + mlen >= 128)
+
+            @pl.when(cross_m)
+            def _():
+                ovmem[pl.ds(r1, 1), :] = mcarry
+
+            carry = jnp.where(cross_m, mcarry2,
+                              jnp.where(do_match, mcarry, carry))
+            ip = jnp.where(do_match, ip_adv, ipm)
+            opos = jnp.where(do_match, opos2,
+                             jnp.where(ok_l, opos1, opos))
+            status = jnp.where(jnp.logical_and(ended, ok_l), 1,
+                               jnp.where(do_match, 0, 2))
+            return (ip.astype(jnp.int32), opos.astype(jnp.int32),
+                    status.astype(jnp.int32), carry)
+
         def seq_body(state):
             ip, opos, status, carry = state
             v = sval(ip)
@@ -327,16 +423,26 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             mlen = ml_nib + 4 + is_ext * extb
             offset = sval(mpos) & 0xFFFF
             ip_adv = mpos + 2 + is_ext
-            # fast iff: literals <= 12 (broadcast-injectable), at most ONE
-            # terminal match-extension byte, no literal extension, no row
-            # crossing (strict, so the carry never flushes on fill), and
-            # match offset >= mlen (no overlap doubling)
-            fast = jnp.logical_and(
+            # fast/mid iff: literals <= 12 (broadcast-injectable), at most
+            # ONE terminal match-extension byte, no literal extension, and
+            # match offset >= mlen (no overlap doubling); fast additionally
+            # requires no row crossing (strict, so the carry never flushes
+            # on fill), mid allows one crossing (total <= 251 bytes)
+            base_ok = jnp.logical_and(
                 jnp.logical_and(ll <= 12,
                                 jnp.logical_or(ml_nib < 15, extb != 255)),
-                cpos + ll + mlen <= 123)
-            fast = jnp.logical_and(fast, offset >= mlen)
-            return lax.cond(fast, fast_seq, slow_seq,
+                offset >= mlen)
+            tot = cpos + ll + mlen
+            fast = jnp.logical_and(base_ok, tot <= 123)
+            midc = jnp.logical_and(base_ok, tot <= 251)
+
+            def not_fast(ip, opos, carry, token, ll, ml_nib, cpos,
+                         mlen, offset, ip_adv):
+                return lax.cond(midc, mid_seq, slow_seq,
+                                ip, opos, carry, token, ll, ml_nib, cpos,
+                                mlen, offset, ip_adv)
+
+            return lax.cond(fast, fast_seq, not_fast,
                             ip, opos, carry, token, ll, ml_nib, cpos,
                             mlen, offset, ip_adv)
 
@@ -409,7 +515,7 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
         scratch_shapes=[
             pltpu.SMEM((1, M), jnp.int32),
             pltpu.VMEM((MR + 2, 128), jnp.int32),
-            pltpu.VMEM((2 + PR + NR, 128), jnp.int32),
+            pltpu.VMEM((3 + PR + NR, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -457,7 +563,7 @@ def _decode_blocks_sg(comp, clen, cum, ocap, *, M, N, TOTR, interpret):
         scratch_shapes=[
             pltpu.SMEM((1, M), jnp.int32),
             pltpu.VMEM((MR + 2, 128), jnp.int32),
-            pltpu.VMEM((2 + PR + NR, 128), jnp.int32),
+            pltpu.VMEM((3 + PR + NR, 128), jnp.int32),
             pltpu.VMEM((PR + NR + 2, 128), jnp.int32),   # stage
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -695,17 +801,16 @@ def _make_stream_decode_kernel(linked: bool):
             return lax.while_loop(lambda f: f + PAGE <= upto, body, fl)
 
         def ostore(r, row):
-            """Store an output ring row; ring row 0 is mirrored at index
-            2*PAGE_ROWS so window loads can be one contiguous [2,128]
-            read even across the wrap
- (a second
-            unconditional dynamic store was measured SLOWER than this
-            rarely-taken branch: dyn-sublane stores cost ~13ns)."""
+            """Store an output ring row; ring rows 0 and 1 are mirrored at
+            indices 2*PAGE_ROWS / 2*PAGE_ROWS+1 so window loads can be one
+            contiguous [2,128] or [3,128] read even across the wrap (a
+            second unconditional dynamic store was measured SLOWER than
+            this rarely-taken branch: dyn-sublane stores cost ~13ns)."""
             ovmem[pl.ds(r, 1), :] = row
 
-            @pl.when(r == 0)
+            @pl.when(r < 2)
             def _():
-                ovmem[pl.ds(2 * PAGE_ROWS, 1), :] = row
+                ovmem[pl.ds(r + 2 * PAGE_ROWS, 1), :] = row
 
         def owindow(a):
             """[1,128] v with v[lane] = output ring byte at global a+lane."""
@@ -889,6 +994,93 @@ def _make_stream_decode_kernel(linked: bool):
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
                     status.astype(jnp.int32), carry, hi, fl)
 
+        def mid_seq(ip, opos, carry, token, ll, ml_nib, cpos, hi, fl,
+                    mlen, offset, ip_adv):
+            # one-row-crossing analog of the batch kernel's mid path (see
+            # _make_decode_kernel): same merges, ring-row indexing, plus a
+            # page flush when the crossing completes a 64KB page
+            ip1 = ip + 1
+            ipm = ip1 + ll
+            opos1 = opos + ll
+            cpos1 = cpos + ll
+            opos2 = opos1 + mlen
+            ZERO = jnp.zeros((1, 128), jnp.int32)
+
+            w0 = sval(ip1)
+            wa = sval(ip1 + 4)
+            wb = sval(ip1 + 8)
+            carry2 = ZERO
+            sh = jnp.clip(lane - cpos, 0, 3) * 8
+            carry = merge(carry, (w0 >> sh) & 0xFF, cpos,
+                          jnp.minimum(ll, 4))
+            sh2 = jnp.clip(lane - (cpos + 4), 0, 3) * 8
+            carry = merge(carry, (wa >> sh2) & 0xFF, cpos + 4,
+                          jnp.clip(ll - 4, 0, 4))
+            sh3 = jnp.clip(lane - (cpos + 8), 0, 3) * 8
+            carry = merge(carry, (wb >> sh3) & 0xFF, cpos + 8,
+                          jnp.clip(ll - 8, 0, 4))
+            shb = jnp.clip(lane - (cpos - 128), 0, 3) * 8
+            carry2 = merge(carry2, (w0 >> shb) & 0xFF, cpos - 128,
+                           jnp.minimum(ll, 4))
+            shb2 = jnp.clip(lane - (cpos - 124), 0, 3) * 8
+            carry2 = merge(carry2, (wa >> shb2) & 0xFF, cpos - 124,
+                           jnp.clip(ll - 4, 0, 4))
+            shb3 = jnp.clip(lane - (cpos - 120), 0, 3) * 8
+            carry2 = merge(carry2, (wb >> shb3) & 0xFF, cpos - 120,
+                           jnp.clip(ll - 8, 0, 4))
+
+            ended = ipm == iend
+            ok_l = jnp.logical_and(ipm <= iend, opos1 <= olim)
+
+            r_a = orow(opos)
+            r_b = (r_a + 1) & (2 * PAGE_ROWS - 1)
+            ostore(r_a, carry)
+            cross_l = cpos1 >= 128
+
+            @pl.when(cross_l)
+            def _():
+                ostore(r_b, carry2)
+
+            c = cpos1 - jnp.where(cross_l, 128, 0)
+            r1 = jnp.where(cross_l, r_b, r_a)
+            carry = jnp.where(cross_l, carry2, carry)
+            carry2 = jnp.where(cross_l, ZERO, carry2)
+
+            q = (opos1 - offset - c) & RING_MASK
+            f = q >> 7
+            sl = q & 127
+            w = ovmem[pl.ds(f, 3), :]
+            rot = pltpu.roll(w, -sl, axis=1)
+            v1 = jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
+            v2 = jnp.where(lane < 128 - sl, rot[1:2], rot[2:3])
+            mcarry = merge(carry, v1, c, mlen)
+            mcarry2 = merge(carry2, v2, c - 128, mlen)
+
+            ok_m = jnp.logical_and(
+                jnp.logical_and(ok_l, ip_adv <= iend),
+                jnp.logical_and(offset > 0, offset <= opos1 - floor))
+            ok_m = jnp.logical_and(ok_m, opos2 <= olim)
+
+            do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
+            cross_m = jnp.logical_and(do_match, c + mlen >= 128)
+
+            @pl.when(cross_m)
+            def _():
+                ostore(r1, mcarry)
+
+            carry = jnp.where(cross_m, mcarry2,
+                              jnp.where(do_match, mcarry, carry))
+            ip = jnp.where(do_match, ip_adv, ipm)
+            opos_new = jnp.where(do_match, opos2,
+                                 jnp.where(ok_l, opos1, opos))
+            fl = lax.cond((opos_new >> 16) > (opos >> 16),
+                          lambda f_: flush(opos_new, f_),
+                          lambda f_: f_, fl)
+            status = jnp.where(jnp.logical_and(ended, ok_l), 1,
+                               jnp.where(do_match, 0, 2))
+            return (ip.astype(jnp.int32), opos_new.astype(jnp.int32),
+                    status.astype(jnp.int32), carry, hi, fl)
+
         def seq_body(st2):
             ip, opos, status, carry, hi, fl = st2
             # The page check rides the loop as a RARE branch instead of an
@@ -917,12 +1109,21 @@ def _make_stream_decode_kernel(linked: bool):
             mlen = ml_nib + 4 + is_ext * extb
             offset = sval(mpos) & 0xFFFF
             ip_adv = mpos + 2 + is_ext
-            fast = jnp.logical_and(
+            base_ok = jnp.logical_and(
                 jnp.logical_and(ll <= 12,
                                 jnp.logical_or(ml_nib < 15, extb != 255)),
-                cpos + ll + mlen <= 123)
-            fast = jnp.logical_and(fast, offset >= mlen)
-            return lax.cond(fast, fast_seq, slow_seq,
+                offset >= mlen)
+            tot = cpos + ll + mlen
+            fast = jnp.logical_and(base_ok, tot <= 123)
+            midc = jnp.logical_and(base_ok, tot <= 251)
+
+            def not_fast(ip, opos, carry, token, ll, ml_nib, cpos,
+                         hi, fl, mlen, offset, ip_adv):
+                return lax.cond(midc, mid_seq, slow_seq,
+                                ip, opos, carry, token, ll, ml_nib, cpos,
+                                hi, fl, mlen, offset, ip_adv)
+
+            return lax.cond(fast, fast_seq, not_fast,
                             ip, opos, carry, token, ll, ml_nib, cpos,
                             hi, fl, mlen, offset, ip_adv)
 
@@ -994,7 +1195,7 @@ def _decode_stream(vals_rows, bstart, clen, ocap, stored, *, TR, OR, linked,
         scratch_shapes=[
             pltpu.SMEM((2 * PAGE_ROWS, 128), jnp.int32),
             pltpu.VMEM((2 * PAGE_ROWS + 1, 128), jnp.int32),
-            pltpu.VMEM((2 * PAGE_ROWS + 1, 128), jnp.int32),
+            pltpu.VMEM((2 * PAGE_ROWS + 2, 128), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),

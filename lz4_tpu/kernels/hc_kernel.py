@@ -67,6 +67,45 @@ def cand_delta4_rows(val: jax.Array) -> jax.Array:
     return dd
 
 
+@jax.jit
+def cand_delta48_rows(val: jax.Array) -> jax.Array:
+    """[B, N] val32 rows -> [B, N] int32 with the 4-byte-key chain delta
+    in the low 16 bits and an 8-byte-key chain delta in the high 16: lane
+    p's high half is the distance to the nearest previous position whose
+    EIGHT bytes equal p's (0 = none within 65535).
+
+    The 8-chain is the walk accelerator: once the best match is >= 8
+    bytes, candidates matching fewer than 8 forward bytes cannot beat it
+    forward, so the scalar walk steps the (much sparser) 8-chain instead
+    of visiting every 4-byte collision.  Packing both chains in one
+    int32 row keeps the kernel's SMEM budget unchanged."""
+    B, N = val.shape
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    val4 = jnp.roll(val, -4, axis=1)
+    # 4-byte chain (order within equal val is by pos: num_keys=2)
+    sk, sp = lax.sort((val, pos), dimension=1, num_keys=2)
+    same = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), sk[:, 1:] == sk[:, :-1]], axis=1)
+    prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), sp[:, :-1]], axis=1)
+    d4 = jnp.where(same, sp - prev, 0)
+    d4 = jnp.where(d4 <= 65535, d4, 0)
+    _, dd4 = lax.sort((sp, d4), dimension=1, num_keys=1)
+    # 8-byte chain (sort by (val, val+4, pos) so equal 8-byte sequences
+    # are adjacent in position order)
+    sk8a, sk8b, sp8 = lax.sort((val, val4, pos), dimension=1, num_keys=3)
+    same8 = jnp.concatenate(
+        [jnp.zeros((B, 1), bool),
+         jnp.logical_and(sk8a[:, 1:] == sk8a[:, :-1],
+                         sk8b[:, 1:] == sk8b[:, :-1])], axis=1)
+    prev8 = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), sp8[:, :-1]], axis=1)
+    d8 = jnp.where(same8, sp8 - prev8, 0)
+    d8 = jnp.where(d8 <= 65535, d8, 0)
+    _, dd8 = lax.sort((sp8, d8), dimension=1, num_keys=1)
+    return dd4 | (dd8 << 16)
+
+
 def _make_hc_kernel(NS: int, M: int, max_attempts: int):
     def kernel(slen_ref, val_hbm, d_hbm, out_hbm, olen_ref,
                vsmem, dsmem, osmem, sem_in, sem_d, sem_out):
@@ -89,6 +128,7 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
             return vsmem[0, p] & 0xFF
 
         def delta(p):
+            """Low 16 bits: 4-byte chain; high 16: 8-byte chain."""
             return dsmem[0, p]
 
         mflimit = n - 12
@@ -110,9 +150,19 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
         def search(p, anchor):
             """Walk p's candidate chain for the *widest* match
             (forward + backward score).  Returns (score, fwd_len,
-            best_pos); score < 4 means none."""
-            cand0 = p - delta(p)
-            cand0 = jnp.where(delta(p) > 0, cand0, p)  # p = stop sentinel
+            best_pos); score < 4 means none.
+
+            Tiered walk: steps the 4-byte chain until the best score
+            reaches ``8 + (p - anchor)``, then switches to the sparser
+            8-byte chain.  The switch is LOSSLESS: a skipped candidate
+            matches < 8 forward bytes and its backward extension is
+            bounded by ``p - anchor``, so its score is < the best —
+            exactly the candidates lz4hc.c would walk and discard."""
+            dp = delta(p)
+            d0 = dp & 0xFFFF
+            cand0 = jnp.where(d0 > 0, p - d0, p)  # p = stop sentinel
+            vp4 = val(p + 4)
+            tier8 = 8 + p - anchor
 
             def cond(st):
                 att, cand, bs_, bf, bp = st
@@ -156,7 +206,11 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
                 bs_ = jnp.where(better, sc, bs_)
                 bf = jnp.where(better, fwd, bf)
                 bp = jnp.where(better, cand, bp)
-                step = delta(candc)
+                dpair = delta(candc)
+                use8 = jnp.logical_and(bs_ >= tier8,
+                                       val(candc + 4) == vp4)
+                step = jnp.where(use8, (dpair >> 16) & 0xFFFF,
+                                 dpair & 0xFFFF)
                 nxt = jnp.where(step > 0, cand - step, p)  # 0 ends chain
                 return att - 1, nxt, bs_, bf, bp
 
@@ -242,7 +296,7 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
                    static_argnames=("NS", "M", "max_attempts", "interpret"))
 def _encode_blocks_hc(val_rows, slen, *, NS, M, max_attempts, interpret):
     B = val_rows.shape[0]
-    d_rows = cand_delta4_rows(val_rows)
+    d_rows = cand_delta48_rows(val_rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
