@@ -103,7 +103,9 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
                                      cvmem.at[pl.ds(1, MR), :], sem_v)
         cp_v.start()
         cvmem[0:1, :] = ZERO
-        cvmem[MR + 1:MR + 2, :] = ZERO
+        # three zero tail rows: the mid path's 3-row literal window read
+        # may start in the last input row
+        cvmem[MR + 1:MR + 4, :] = jnp.zeros((3, 128), jnp.int32)
         if linked:
             @pl.when(b > 0)
             def _():
@@ -218,10 +220,10 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
                 lambda st: st[2] > 0, body, (carry, opos, mlen, offset))
             return carry, opos
 
-        def slow_seq(ip, opos, carry, token, ll_nib, ml_nib, cpos,
+        def slow_seq(ip, opos, carry, ll_nib, ll_f, litip_f, ml_nib, cpos,
                      mlen_f, offset_f, ipadv_f):
-            # (mlen_f/offset_f/ipadv_f are the fast path's precomputed
-            # values; the general path re-derives them with extensions)
+            # (the _f args are the fast path's precomputed values; the
+            # general path re-derives them with full extension loops)
             ip = ip + 1
             ext, ip, ok = read_ext(ll_nib, ip)
             litlen = ll_nib + ext
@@ -265,11 +267,12 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
         # validity checks (all addresses clamped, results discarded on -1).
         # ------------------------------------------------------------------
 
-        def fast_seq(ip, opos, carry, token, ll, ml_nib, cpos,
+        def fast_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
                      mlen, offset, ip_adv):
             # mlen/offset/ip_adv precomputed by seq_body (issue-bound
-            # scalar core: recomputing them here costs ~8 ops/sequence)
-            ip1 = ip + 1
+            # scalar core: recomputing them here costs ~8 ops/sequence);
+            # ll <= 12 here implies no literal extension, so lit_ip=ip+1
+            ip1 = lit_ip
             ipm = ip1 + ll          # match header position
             opos1 = opos + ll
             cpos1 = cpos + ll
@@ -316,47 +319,34 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
 
         # --------------------------------------------------------------
         # mid path: like fast_seq but the sequence's output may cross ONE
-        # 128-byte row boundary (total <= 251 bytes).  At min_match >= 12
-        # a large share of sequences cross a row — (ll+mlen)/128 per
-        # sequence, and nearly all LONG matches — and the general path's
-        # per-chunk loops cost ~3x.  One [3,128] window roll covers both
-        # destination rows (rolls cost flat at any shape, cost model in
-        # docs/ARCHITECTURE.md), and the row-2 merges reuse the same
-        # broadcast words with lane starts shifted by -128 (mask clipping
-        # makes out-of-row merges empty).
+        # 128-byte row boundary (total <= 251 bytes) and the literal run
+        # may be LONG (up to 247 bytes, one extension byte).  Corpus
+        # measurement (scratch/mmstudy.py): at min_match >= 12 the
+        # dominant general-path class is ordinary sequences with 13-63
+        # literals — rejected-match regions — which cost ~3x here via the
+        # per-chunk loops.  One [3,128] roll of the INPUT window covers
+        # the whole literal run across both destination rows, and one
+        # [3,128] roll of the output window covers the match (rolls cost
+        # flat at any shape, cost model in docs/ARCHITECTURE.md).
         # --------------------------------------------------------------
 
-        def mid_seq(ip, opos, carry, token, ll, ml_nib, cpos,
+        def mid_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
                     mlen, offset, ip_adv):
-            ip1 = ip + 1
-            ipm = ip1 + ll
+            ipm = lit_ip + ll
             opos1 = opos + ll
-            cpos1 = cpos + ll        # may reach 139 (literal crossing)
+            cpos1 = cpos + ll        # <= 247 (tot <= 251, mlen >= 4)
             opos2 = opos1 + mlen
 
-            w0 = sval(ip1)
-            wa = sval(ip1 + 4)
-            wb = sval(ip1 + 8)
-            carry2 = ZERO
-            sh = jnp.clip(lane - cpos, 0, 3) * 8
-            carry = merge(carry, (w0 >> sh) & 0xFF, cpos,
-                          jnp.minimum(ll, 4))
-            sh2 = jnp.clip(lane - (cpos + 4), 0, 3) * 8
-            carry = merge(carry, (wa >> sh2) & 0xFF, cpos + 4,
-                          jnp.clip(ll - 4, 0, 4))
-            sh3 = jnp.clip(lane - (cpos + 8), 0, 3) * 8
-            carry = merge(carry, (wb >> sh3) & 0xFF, cpos + 8,
-                          jnp.clip(ll - 8, 0, 4))
-            # row-2 copies of the same merges (starts shifted by -128)
-            shb = jnp.clip(lane - (cpos - 128), 0, 3) * 8
-            carry2 = merge(carry2, (w0 >> shb) & 0xFF, cpos - 128,
-                           jnp.minimum(ll, 4))
-            shb2 = jnp.clip(lane - (cpos - 124), 0, 3) * 8
-            carry2 = merge(carry2, (wa >> shb2) & 0xFF, cpos - 124,
-                           jnp.clip(ll - 4, 0, 4))
-            shb3 = jnp.clip(lane - (cpos - 120), 0, 3) * 8
-            carry2 = merge(carry2, (wb >> shb3) & 0xFF, cpos - 120,
-                           jnp.clip(ll - 8, 0, 4))
+            # literal copy: one 3-row input-window roll covers both rows
+            a_l = jnp.clip(lit_ip - cpos, -128, 128 * MR)
+            f_l = a_l >> 7
+            sl_l = a_l & 127
+            w_l = cvmem[pl.ds(f_l + 1, 3), :]
+            rot_l = pltpu.roll(w_l, -sl_l, axis=1)
+            lv1 = jnp.where(lane < 128 - sl_l, rot_l[0:1], rot_l[1:2])
+            lv2 = jnp.where(lane < 128 - sl_l, rot_l[1:2], rot_l[2:3])
+            carry = merge(carry, lv1, cpos, ll)
+            carry2 = merge(ZERO, lv2, cpos - 128, ll)
 
             ended = ipm == n
             ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
@@ -414,37 +404,46 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             ip, opos, status, carry = state
             v = sval(ip)
             token = v & 0xFF
-            ll = token >> 4
+            ll_nib = token >> 4
             ml_nib = token & 15
             cpos = opos & 127
-            mpos = ip + 1 + ll
+            # one literal-extension byte parsed inline (ll up to 269);
+            # runs needing more ext bytes take the general path
+            lle_b = sval(ip + 1) & 0xFF
+            has_lle = ll_nib == 15
+            ll = ll_nib + jnp.where(has_lle, lle_b, 0)
+            lit_ip = ip + 1 + jnp.where(has_lle, 1, 0)
+            mpos = lit_ip + ll
             is_ext = jnp.where(ml_nib == 15, 1, 0)
             extb = sval(mpos + 2) & 0xFF
             mlen = ml_nib + 4 + is_ext * extb
             offset = sval(mpos) & 0xFFFF
             ip_adv = mpos + 2 + is_ext
-            # fast/mid iff: literals <= 12 (broadcast-injectable), at most
-            # ONE terminal match-extension byte, no literal extension, and
-            # match offset >= mlen (no overlap doubling); fast additionally
-            # requires no row crossing (strict, so the carry never flushes
-            # on fill), mid allows one crossing (total <= 251 bytes)
-            base_ok = jnp.logical_and(
-                jnp.logical_and(ll <= 12,
-                                jnp.logical_or(ml_nib < 15, extb != 255)),
-                offset >= mlen)
+            # fast/mid iff: at most ONE literal- and ONE match-extension
+            # byte, and match offset >= mlen (no overlap doubling); fast
+            # additionally requires literals <= 12 (broadcast-injectable)
+            # and no row crossing (strict, so the carry never flushes on
+            # fill); mid allows one crossing (total <= 251 bytes) and any
+            # literal run that fits it (the dominant rejected-match class
+            # at min_match >= 12, scratch/mmstudy.py)
+            ok_ext = jnp.logical_and(
+                jnp.logical_or(ml_nib < 15, extb != 255),
+                jnp.logical_or(jnp.logical_not(has_lle), lle_b != 255))
+            base_ok = jnp.logical_and(ok_ext, offset >= mlen)
             tot = cpos + ll + mlen
-            fast = jnp.logical_and(base_ok, tot <= 123)
+            fast = jnp.logical_and(jnp.logical_and(base_ok, ll <= 12),
+                                   tot <= 123)
             midc = jnp.logical_and(base_ok, tot <= 251)
 
-            def not_fast(ip, opos, carry, token, ll, ml_nib, cpos,
-                         mlen, offset, ip_adv):
+            def not_fast(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib,
+                         cpos, mlen, offset, ip_adv):
                 return lax.cond(midc, mid_seq, slow_seq,
-                                ip, opos, carry, token, ll, ml_nib, cpos,
-                                mlen, offset, ip_adv)
+                                ip, opos, carry, ll_nib, ll, lit_ip,
+                                ml_nib, cpos, mlen, offset, ip_adv)
 
             return lax.cond(fast, fast_seq, not_fast,
-                            ip, opos, carry, token, ll, ml_nib, cpos,
-                            mlen, offset, ip_adv)
+                            ip, opos, carry, ll_nib, ll, lit_ip, ml_nib,
+                            cpos, mlen, offset, ip_adv)
 
         def seq_cond(state):
             ip, opos, status, _ = state
@@ -514,7 +513,7 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
         ),
         scratch_shapes=[
             pltpu.SMEM((1, M), jnp.int32),
-            pltpu.VMEM((MR + 2, 128), jnp.int32),
+            pltpu.VMEM((MR + 4, 128), jnp.int32),
             pltpu.VMEM((3 + PR + NR, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -562,7 +561,7 @@ def _decode_blocks_sg(comp, clen, cum, ocap, *, M, N, TOTR, interpret):
         ),
         scratch_shapes=[
             pltpu.SMEM((1, M), jnp.int32),
-            pltpu.VMEM((MR + 2, 128), jnp.int32),
+            pltpu.VMEM((MR + 4, 128), jnp.int32),
             pltpu.VMEM((3 + PR + NR, 128), jnp.int32),
             pltpu.VMEM((PR + NR + 2, 128), jnp.int32),   # stage
             pltpu.SemaphoreType.DMA(()),
@@ -773,7 +772,9 @@ def _make_stream_decode_kernel(linked: bool):
 
             @pl.when(half == 0)
             def _():
-                cvmem[pl.ds(2 * PAGE_ROWS, 1), :] = cvmem[pl.ds(0, 1), :]
+                # mirror ring rows 0-1 so 2- and 3-row window reads stay
+                # contiguous across the wrap
+                cvmem[pl.ds(2 * PAGE_ROWS, 2), :] = cvmem[pl.ds(0, 2), :]
             return hi + PAGE
 
         def ensure(pos, hi):
@@ -909,8 +910,8 @@ def _make_stream_decode_kernel(linked: bool):
         # source is resident); independent = this block's start
         floor = jnp.int32(0) if linked else base
 
-        def slow_seq(ip, opos, carry, token, ll_nib, ml_nib, cpos, hi, fl,
-                     mlen_f, offset_f, ipadv_f):
+        def slow_seq(ip, opos, carry, ll_nib, ll_f, litip_f, ml_nib, cpos,
+                     hi, fl, mlen_f, offset_f, ipadv_f):
             ip = ip + 1
             ext, ip, ok, hi = read_ext(ll_nib, ip, iend, hi)
             litlen = ll_nib + ext
@@ -949,14 +950,14 @@ def _make_stream_decode_kernel(linked: bool):
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
                     status.astype(jnp.int32), carry, hi, fl)
 
-        def fast_seq(ip, opos, carry, token, ll, ml_nib, cpos, hi, fl,
-                     mlen, offset, ip_adv):
+        def fast_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
+                     hi, fl, mlen, offset, ip_adv):
             # straight-line common case, widened to the batch kernel's
             # envelope: up to 12 literals injected from three broadcast
             # val32 words, one TERMINAL match-length extension byte, no
             # row completion, no overlap doubling; mlen/offset/ip_adv
             # precomputed by seq_body (issue-bound scalar core)
-            ip1 = ip + 1
+            ip1 = lit_ip
             ipm = ip1 + ll
             opos1 = opos + ll
             cpos1 = cpos + ll
@@ -994,40 +995,29 @@ def _make_stream_decode_kernel(linked: bool):
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
                     status.astype(jnp.int32), carry, hi, fl)
 
-        def mid_seq(ip, opos, carry, token, ll, ml_nib, cpos, hi, fl,
-                    mlen, offset, ip_adv):
+        def mid_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
+                    hi, fl, mlen, offset, ip_adv):
             # one-row-crossing analog of the batch kernel's mid path (see
-            # _make_decode_kernel): same merges, ring-row indexing, plus a
-            # page flush when the crossing completes a 64KB page
-            ip1 = ip + 1
-            ipm = ip1 + ll
+            # _make_decode_kernel): literal runs up to 247 bytes come from
+            # ONE 3-row input-ring roll; ring-row indexing for the match;
+            # plus a page flush when the crossing completes a 64KB page.
+            # All bytes [ip, ip+272) are resident (seq_body's refill
+            # guard), so no ensure() is needed here.
+            ipm = lit_ip + ll
             opos1 = opos + ll
-            cpos1 = cpos + ll
+            cpos1 = cpos + ll        # <= 247 (tot <= 251, mlen >= 4)
             opos2 = opos1 + mlen
             ZERO = jnp.zeros((1, 128), jnp.int32)
 
-            w0 = sval(ip1)
-            wa = sval(ip1 + 4)
-            wb = sval(ip1 + 8)
-            carry2 = ZERO
-            sh = jnp.clip(lane - cpos, 0, 3) * 8
-            carry = merge(carry, (w0 >> sh) & 0xFF, cpos,
-                          jnp.minimum(ll, 4))
-            sh2 = jnp.clip(lane - (cpos + 4), 0, 3) * 8
-            carry = merge(carry, (wa >> sh2) & 0xFF, cpos + 4,
-                          jnp.clip(ll - 4, 0, 4))
-            sh3 = jnp.clip(lane - (cpos + 8), 0, 3) * 8
-            carry = merge(carry, (wb >> sh3) & 0xFF, cpos + 8,
-                          jnp.clip(ll - 8, 0, 4))
-            shb = jnp.clip(lane - (cpos - 128), 0, 3) * 8
-            carry2 = merge(carry2, (w0 >> shb) & 0xFF, cpos - 128,
-                           jnp.minimum(ll, 4))
-            shb2 = jnp.clip(lane - (cpos - 124), 0, 3) * 8
-            carry2 = merge(carry2, (wa >> shb2) & 0xFF, cpos - 124,
-                           jnp.clip(ll - 4, 0, 4))
-            shb3 = jnp.clip(lane - (cpos - 120), 0, 3) * 8
-            carry2 = merge(carry2, (wb >> shb3) & 0xFF, cpos - 120,
-                           jnp.clip(ll - 8, 0, 4))
+            ql = (lit_ip - cpos) & RING_MASK
+            f_l = ql >> 7
+            sl_l = ql & 127
+            w_l = cvmem[pl.ds(f_l, 3), :]    # rows 1023+ read the mirrors
+            rot_l = pltpu.roll(w_l, -sl_l, axis=1)
+            lv1 = jnp.where(lane < 128 - sl_l, rot_l[0:1], rot_l[1:2])
+            lv2 = jnp.where(lane < 128 - sl_l, rot_l[1:2], rot_l[2:3])
+            carry = merge(carry, lv1, cpos, ll)
+            carry2 = merge(ZERO, lv2, cpos - 128, ll)
 
             ended = ipm == iend
             ok_l = jnp.logical_and(ipm <= iend, opos1 <= olim)
@@ -1090,42 +1080,51 @@ def _make_stream_decode_kernel(linked: bool):
             # pages the ring and the next iteration re-enters with the
             # bytes resident.
             def refill():
-                return (ip, opos, status, carry, ensure(ip, hi), fl)
+                # page so the mid path's whole envelope (1 token + 1 lit
+                # ext + 247 literals + match header, < 272 bytes) is
+                # resident; the input upload carries 2*PAGE+256 slack so
+                # the lookahead never DMAs past the buffer
+                return (ip, opos, status, carry, ensure(ip + 252, hi), fl)
 
             def work():
                 return seq_work(ip, opos, status, carry, hi, fl)
 
-            return lax.cond(ip + 20 <= hi, work, refill)
+            return lax.cond(ip + 272 <= hi, work, refill)
 
         def seq_work(ip, opos, status, carry, hi, fl):
             v = sval(ip)
             token = v & 0xFF
-            ll = token >> 4
+            ll_nib = token >> 4
             ml_nib = token & 15
             cpos = opos & 127
-            mpos = ip + 1 + ll
+            lle_b = sval(ip + 1) & 0xFF
+            has_lle = ll_nib == 15
+            ll = ll_nib + jnp.where(has_lle, lle_b, 0)
+            lit_ip = ip + 1 + jnp.where(has_lle, 1, 0)
+            mpos = lit_ip + ll
             is_ext = jnp.where(ml_nib == 15, 1, 0)
             extb = sval(mpos + 2) & 0xFF
             mlen = ml_nib + 4 + is_ext * extb
             offset = sval(mpos) & 0xFFFF
             ip_adv = mpos + 2 + is_ext
-            base_ok = jnp.logical_and(
-                jnp.logical_and(ll <= 12,
-                                jnp.logical_or(ml_nib < 15, extb != 255)),
-                offset >= mlen)
+            ok_ext = jnp.logical_and(
+                jnp.logical_or(ml_nib < 15, extb != 255),
+                jnp.logical_or(jnp.logical_not(has_lle), lle_b != 255))
+            base_ok = jnp.logical_and(ok_ext, offset >= mlen)
             tot = cpos + ll + mlen
-            fast = jnp.logical_and(base_ok, tot <= 123)
+            fast = jnp.logical_and(jnp.logical_and(base_ok, ll <= 12),
+                                   tot <= 123)
             midc = jnp.logical_and(base_ok, tot <= 251)
 
-            def not_fast(ip, opos, carry, token, ll, ml_nib, cpos,
-                         hi, fl, mlen, offset, ip_adv):
+            def not_fast(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib,
+                         cpos, hi, fl, mlen, offset, ip_adv):
                 return lax.cond(midc, mid_seq, slow_seq,
-                                ip, opos, carry, token, ll, ml_nib, cpos,
-                                hi, fl, mlen, offset, ip_adv)
+                                ip, opos, carry, ll_nib, ll, lit_ip,
+                                ml_nib, cpos, hi, fl, mlen, offset, ip_adv)
 
             return lax.cond(fast, fast_seq, not_fast,
-                            ip, opos, carry, token, ll, ml_nib, cpos,
-                            hi, fl, mlen, offset, ip_adv)
+                            ip, opos, carry, ll_nib, ll, lit_ip, ml_nib,
+                            cpos, hi, fl, mlen, offset, ip_adv)
 
         def seq_cond(st2):
             ip, opos, status, _, _h, _f = st2
@@ -1194,7 +1193,7 @@ def _decode_stream(vals_rows, bstart, clen, ocap, stored, *, TR, OR, linked,
         ),
         scratch_shapes=[
             pltpu.SMEM((2 * PAGE_ROWS, 128), jnp.int32),
-            pltpu.VMEM((2 * PAGE_ROWS + 1, 128), jnp.int32),
+            pltpu.VMEM((2 * PAGE_ROWS + 2, 128), jnp.int32),
             pltpu.VMEM((2 * PAGE_ROWS + 2, 128), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),

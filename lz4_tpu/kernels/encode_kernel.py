@@ -345,8 +345,33 @@ def encode_blocks(val32_rows: jax.Array, src_lens: jax.Array,
 WINDOW = 65536
 
 
+@jax.jit
+def cand_frac8_rows(val: jax.Array) -> jax.Array:
+    """[B, N] val32 rows -> [B] float32: fraction of positions whose
+    nearest previous 5-byte-equal candidate also matches 8 forward bytes
+    (i.e. would survive a min_match pre-filter) — a one-sort VPU
+    statistic of long-match density used to pick a per-block min_match
+    (adaptive mode).  Rides the same sort as ``cand_delta_rows`` with
+    val32@+4 carried as a passenger operand, so no gather is needed to
+    compare candidate bytes."""
+    B, N = val.shape
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    b5 = jnp.roll(val, -4, axis=-1) & 0xFF
+    v4 = jnp.roll(val, -4, axis=-1)
+    k2 = (b5 << 18) | pos
+    sk, sk2, sv4 = lax.sort((val, k2, v4), dimension=1, num_keys=2)
+    sp = sk2 & ((1 << 18) - 1)
+    same = jnp.logical_and(sk[:, 1:] == sk[:, :-1],
+                           (sk2 >> 18)[:, 1:] == (sk2 >> 18)[:, :-1])
+    near = (sp[:, 1:] - sp[:, :-1]) <= 65535
+    m8 = jnp.logical_and(jnp.logical_and(same, near),
+                         sv4[:, 1:] == sv4[:, :-1])
+    return jnp.mean(m8.astype(jnp.float32), axis=1)
+
+
 def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
-                               min_match: int = 4, reject_step: int = 1):
+                               min_match: int = 4, reject_step: int = 1,
+                               dynamic_mm: bool = False):
     """Chained-block encoder: grid (streams, blocks); each grid step's
     SMEM val window covers [prev block | current block] and the sorted-
     candidate pass runs over the whole window, so matches reach into the
@@ -366,15 +391,26 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
     Candidate deltas for the NS block lanes ride packed two per int32
     (16-bit halves — deltas are <= 65535): the window vals + output row
     leave no SMEM room for an unpacked row (chip cap is 1MB).
+
+    ``dynamic_mm``: min_match comes per block from a third prefetch
+    scalar row instead of the compile-time constant (adaptive mode: each
+    block trades ratio for decode speed according to its own long-match
+    density; see ``cand_frac8_rows``).
     """
     W = WINDOW + NS    # SMEM byte window per step
 
-    def kernel(slen_ref, prefix_ref, val_hbm, d_hbm, out_hbm, olen_ref,
-               vsmem, dsmem, osmem, sem_in, sem_d, sem_out):
+    def kernel(slen_ref, prefix_ref, *rest):
+        if dynamic_mm:
+            (mm_ref, val_hbm, d_hbm, out_hbm, olen_ref,
+             vsmem, dsmem, osmem, sem_in, sem_d, sem_out) = rest
+        else:
+            (val_hbm, d_hbm, out_hbm, olen_ref,
+             vsmem, dsmem, osmem, sem_in, sem_d, sem_out) = rest
         s = pl.program_id(0)
         k = pl.program_id(1)
         nb = pl.num_programs(1)
         n = slen_ref[s * nb + k]
+        mm_b = mm_ref[s * nb + k] if dynamic_mm else jnp.int32(min_match)
 
         cp_in = pltpu.make_async_copy(val_hbm.at[s, k], vsmem.at[:, 0:W],
                                       sem_in)
@@ -437,10 +473,10 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
                 return (new_ip, op2, new_ip,
                         jnp.int32(acceleration << SKIP_TRIGGER))
 
-            if min_match <= 4:
+            if not dynamic_mm and min_match <= 4:
                 return emit(ip, op, anchor, scnt)
             # min-match knob: see _make_encode_kernel
-            return lax.cond(ml >= min_match,
+            return lax.cond(ml >= mm_b,
                             lambda: emit(ip, op, anchor, scnt),
                             lambda: (ip + jnp.maximum(scnt >> SKIP_TRIGGER,
                                                       reject_step),
@@ -456,11 +492,14 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
             there anyway, so an arbitrary compare result cannot cause a
             wrong accept-into-padding (the scan's with_match still
             bounds every read)."""
-            if min_match < 11:
+            if not dynamic_mm and min_match < 11:
                 return jnp.bool_(True)
             w1 = val(q + 4) == val(ipx + 4)
             b1 = val(jnp.maximum(q - 4, low)) == val(ipx - 4)
-            return jnp.logical_or(w1, b1)
+            hit = jnp.logical_or(w1, b1)
+            if dynamic_mm:
+                hit = jnp.logical_or(hit, mm_b < 11)
+            return hit
 
         def main_body(state):
             ip, op, anchor, scnt = state
@@ -502,9 +541,11 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("NS", "M", "acceleration", "interpret",
-                                    "min_match", "reject_step"))
-def _encode_blocks_linked(val_rows, slen, prefix, *, NS, M, acceleration,
-                          interpret, min_match=4, reject_step=1):
+                                    "min_match", "reject_step",
+                                    "dynamic_mm"))
+def _encode_blocks_linked(val_rows, slen, prefix, mm_rows=None, *, NS, M,
+                          acceleration, interpret, min_match=4,
+                          reject_step=1, dynamic_mm=False):
     S, NB = val_rows.shape[0], val_rows.shape[1]
     W = WINDOW + NS
     # candidate deltas over the whole [window | block] row — candidates
@@ -514,7 +555,7 @@ def _encode_blocks_linked(val_rows, slen, prefix, *, NS, M, acceleration,
     dp = d_full.reshape(S, NB, NS // 2, 2)
     d_rows = dp[..., 0] | (dp[..., 1] << 16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if dynamic_mm else 2,
         grid=(S, NB),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
@@ -531,9 +572,12 @@ def _encode_blocks_linked(val_rows, slen, prefix, *, NS, M, acceleration,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    scalars = (slen.reshape(S * NB), prefix)
+    if dynamic_mm:
+        scalars = scalars + (mm_rows.reshape(S * NB).astype(jnp.int32),)
     out, olen = pl.pallas_call(
         _make_encode_linked_kernel(NS, M, acceleration, min_match,
-                                   reject_step),
+                                   reject_step, dynamic_mm),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((S, NB, 1, M), jnp.int32),
@@ -541,7 +585,7 @@ def _encode_blocks_linked(val_rows, slen, prefix, *, NS, M, acceleration,
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(slen.reshape(S * NB), prefix, val_rows.reshape(S, NB, 1, W),
+    )(*scalars, val_rows.reshape(S, NB, 1, W),
       d_rows.reshape(S, NB, 1, NS // 2))
     return out.reshape(S, NB, M), olen.reshape(S, NB)
 
@@ -549,7 +593,8 @@ def _encode_blocks_linked(val_rows, slen, prefix, *, NS, M, acceleration,
 def encode_blocks_linked(val32_rows: jax.Array, src_lens: jax.Array,
                          acceleration: int = 1,
                          prefix_lens: jax.Array | None = None,
-                         min_match: int = 4, reject_step: int = 1):
+                         min_match: int = 4, reject_step: int = 1,
+                         mm_rows: jax.Array | None = None):
     """Compress streams of linked 64 KB blocks (device streaming mode).
 
     Args:
@@ -562,6 +607,8 @@ def encode_blocks_linked(val32_rows: jax.Array, src_lens: jax.Array,
         stream's first block (0 or 65536; the prefix bytes live in row
         (s, 0)'s leading window lanes).
       min_match / reject_step: see ``encode_blocks``.
+      mm_rows: optional [S, NB] int32 per-block min_match (adaptive
+        mode); overrides ``min_match`` when given.
 
     Returns (out [S, NB, M] int32 bytes, olen [S, NB]).
     """
@@ -573,8 +620,9 @@ def encode_blocks_linked(val32_rows: jax.Array, src_lens: jax.Array,
         prefix_lens = jnp.zeros((S,), jnp.int32)
     M = -(-compress_bound(NS) // 128) * 128
     return _encode_blocks_linked(val32_rows, src_lens.astype(jnp.int32),
-                                 prefix_lens.astype(jnp.int32),
+                                 prefix_lens.astype(jnp.int32), mm_rows,
                                  NS=NS, M=M, acceleration=int(acceleration),
                                  interpret=on_cpu(),
                                  min_match=int(min_match),
-                                 reject_step=int(reject_step))
+                                 reject_step=int(reject_step),
+                                 dynamic_mm=mm_rows is not None)

@@ -245,3 +245,55 @@ def test_encode_linked_min_match_knob():
     # the knob's contract: fewer sequences (= faster sequence-bound
     # decode); compressed SIZE may go either way with the exact matcher
     assert sizes[10] < sizes[4]
+
+
+def test_encode_linked_adaptive_mm_rows():
+    """Per-block dynamic min_match (adaptive mode): a uniform mm_rows
+    vector must reproduce the static kernel's bytes exactly, and a mixed
+    vector must round-trip and honor each block's match floor."""
+    from lz4_tpu.kernels.decode_kernel import decode_blocks_linked
+    from lz4_tpu.kernels.encode_kernel import (cand_frac8_rows,
+                                               encode_blocks_linked)
+    from lz4_tpu.tpu import fetch_byte_rows, linked_val_rows
+    from lz4_tpu.utils.datagen import gen_buffer
+    import numpy as np
+    import jax.numpy as jnp
+
+    data = gen_buffer(3 * 65536, 0.8, 123)
+    nb = 3
+    val, lens = linked_val_rows(data, 1, nb)
+
+    for mm in (4, 12):
+        out_s, olen_s = encode_blocks_linked(val, jnp.asarray(lens),
+                                             min_match=mm, reject_step=3)
+        mmr = jnp.full((1, nb), mm, jnp.int32)
+        out_d, olen_d = encode_blocks_linked(val, jnp.asarray(lens),
+                                             min_match=4, reject_step=3,
+                                             mm_rows=mmr)
+        assert (np.asarray(olen_s) == np.asarray(olen_d)).all()
+        assert (np.asarray(out_s) == np.asarray(out_d)).all()
+
+    # mixed: block 0 default, block 1 mm=12, block 2 mm=8
+    mmr = jnp.asarray([[4, 12, 8]], jnp.int32)
+    out, olen = encode_blocks_linked(val, jnp.asarray(lens),
+                                     reject_step=3, mm_rows=mmr)
+    olen_np = np.asarray(olen[0])
+    outb = fetch_byte_rows(out[0])
+    payloads = [outb[k, :olen_np[k]].tobytes() for k in range(nb)]
+    M = -(-max(map(len, payloads)) // 128) * 128
+    arr = np.zeros((nb, M), np.int32)
+    clens = np.zeros((nb,), np.int32)
+    for i, c in enumerate(payloads):
+        arr[i, :len(c)] = np.frombuffer(c, np.uint8)
+        clens[i] = len(c)
+    dout, dlen = decode_blocks_linked(jnp.asarray(arr), jnp.asarray(clens),
+                                      65536)
+    assert (np.asarray(dlen) == lens[0]).all()
+    got = b"".join(bytes(np.asarray(dout)[k, :lens[0][k]].astype(np.uint8))
+                   for k in range(nb))
+    assert got == data
+
+    # the long-match-density statistic is shaped right and bounded
+    fr = np.asarray(cand_frac8_rows(val[0, :, 65536:]))
+    assert fr.shape == (nb,)
+    assert (fr >= 0).all() and (fr <= 1).all()
