@@ -337,16 +337,47 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             cpos1 = cpos + ll        # <= 247 (tot <= 251, mlen >= 4)
             opos2 = opos1 + mlen
 
-            # literal copy: one 3-row input-window roll covers both rows
-            a_l = jnp.clip(lit_ip - cpos, -128, 128 * MR)
-            f_l = a_l >> 7
-            sl_l = a_l & 127
-            w_l = cvmem[pl.ds(f_l + 1, 3), :]
-            rot_l = pltpu.roll(w_l, -sl_l, axis=1)
-            lv1 = jnp.where(lane < 128 - sl_l, rot_l[0:1], rot_l[1:2])
-            lv2 = jnp.where(lane < 128 - sl_l, rot_l[1:2], rot_l[2:3])
-            carry = merge(carry, lv1, cpos, ll)
-            carry2 = merge(ZERO, lv2, cpos - 128, ll)
+            def lit_broadcast(carry):
+                # ll <= 12: inject from three broadcast val32 words — no
+                # roll (rolls don't hide under scalar, cost model)
+                w0 = sval(lit_ip)
+                wa = sval(lit_ip + 4)
+                wb = sval(lit_ip + 8)
+                sh = jnp.clip(lane - cpos, 0, 3) * 8
+                c1 = merge(carry, (w0 >> sh) & 0xFF, cpos,
+                           jnp.minimum(ll, 4))
+                sh2 = jnp.clip(lane - (cpos + 4), 0, 3) * 8
+                c1 = merge(c1, (wa >> sh2) & 0xFF, cpos + 4,
+                           jnp.clip(ll - 4, 0, 4))
+                sh3 = jnp.clip(lane - (cpos + 8), 0, 3) * 8
+                c1 = merge(c1, (wb >> sh3) & 0xFF, cpos + 8,
+                           jnp.clip(ll - 8, 0, 4))
+                shb = jnp.clip(lane - (cpos - 128), 0, 3) * 8
+                c2 = merge(ZERO, (w0 >> shb) & 0xFF, cpos - 128,
+                           jnp.minimum(ll, 4))
+                shb2 = jnp.clip(lane - (cpos - 124), 0, 3) * 8
+                c2 = merge(c2, (wa >> shb2) & 0xFF, cpos - 124,
+                           jnp.clip(ll - 4, 0, 4))
+                shb3 = jnp.clip(lane - (cpos - 120), 0, 3) * 8
+                c2 = merge(c2, (wb >> shb3) & 0xFF, cpos - 120,
+                           jnp.clip(ll - 8, 0, 4))
+                return c1, c2
+
+            def lit_roll(carry):
+                # long run (13..247 bytes): one 3-row input-window roll
+                # covers both destination rows
+                a_l = jnp.clip(lit_ip - cpos, -128, 128 * MR)
+                f_l = a_l >> 7
+                sl_l = a_l & 127
+                w_l = cvmem[pl.ds(f_l + 1, 3), :]
+                rot_l = pltpu.roll(w_l, -sl_l, axis=1)
+                lv1 = jnp.where(lane < 128 - sl_l, rot_l[0:1], rot_l[1:2])
+                lv2 = jnp.where(lane < 128 - sl_l, rot_l[1:2], rot_l[2:3])
+                return (merge(carry, lv1, cpos, ll),
+                        merge(ZERO, lv2, cpos - 128, ll))
+
+            carry, carry2 = lax.cond(ll <= 12, lit_broadcast, lit_roll,
+                                     carry)
 
             ended = ipm == n
             ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
@@ -1009,15 +1040,47 @@ def _make_stream_decode_kernel(linked: bool):
             opos2 = opos1 + mlen
             ZERO = jnp.zeros((1, 128), jnp.int32)
 
-            ql = (lit_ip - cpos) & RING_MASK
-            f_l = ql >> 7
-            sl_l = ql & 127
-            w_l = cvmem[pl.ds(f_l, 3), :]    # rows 1023+ read the mirrors
-            rot_l = pltpu.roll(w_l, -sl_l, axis=1)
-            lv1 = jnp.where(lane < 128 - sl_l, rot_l[0:1], rot_l[1:2])
-            lv2 = jnp.where(lane < 128 - sl_l, rot_l[1:2], rot_l[2:3])
-            carry = merge(carry, lv1, cpos, ll)
-            carry2 = merge(ZERO, lv2, cpos - 128, ll)
+            def lit_broadcast(carry):
+                # ll <= 12: broadcast val32 words, no roll
+                w0 = sval(lit_ip)
+                wa = sval(lit_ip + 4)
+                wb = sval(lit_ip + 8)
+                sh = jnp.clip(lane - cpos, 0, 3) * 8
+                c1 = merge(carry, (w0 >> sh) & 0xFF, cpos,
+                           jnp.minimum(ll, 4))
+                sh2 = jnp.clip(lane - (cpos + 4), 0, 3) * 8
+                c1 = merge(c1, (wa >> sh2) & 0xFF, cpos + 4,
+                           jnp.clip(ll - 4, 0, 4))
+                sh3 = jnp.clip(lane - (cpos + 8), 0, 3) * 8
+                c1 = merge(c1, (wb >> sh3) & 0xFF, cpos + 8,
+                           jnp.clip(ll - 8, 0, 4))
+                shb = jnp.clip(lane - (cpos - 128), 0, 3) * 8
+                c2 = merge(ZERO, (w0 >> shb) & 0xFF, cpos - 128,
+                           jnp.minimum(ll, 4))
+                shb2 = jnp.clip(lane - (cpos - 124), 0, 3) * 8
+                c2 = merge(c2, (wa >> shb2) & 0xFF, cpos - 124,
+                           jnp.clip(ll - 4, 0, 4))
+                shb3 = jnp.clip(lane - (cpos - 120), 0, 3) * 8
+                c2 = merge(c2, (wb >> shb3) & 0xFF, cpos - 120,
+                           jnp.clip(ll - 8, 0, 4))
+                return c1, c2
+
+            def lit_roll(carry):
+                # long run (13..247 bytes): one 3-row input-ring roll
+                ql = (lit_ip - cpos) & RING_MASK
+                f_l = ql >> 7
+                sl_l = ql & 127
+                w_l = cvmem[pl.ds(f_l, 3), :]  # rows 1023+ = the mirrors
+                rot_l = pltpu.roll(w_l, -sl_l, axis=1)
+                lv1 = jnp.where(lane < 128 - sl_l,
+                                rot_l[0:1], rot_l[1:2])
+                lv2 = jnp.where(lane < 128 - sl_l,
+                                rot_l[1:2], rot_l[2:3])
+                return (merge(carry, lv1, cpos, ll),
+                        merge(ZERO, lv2, cpos - 128, ll))
+
+            carry, carry2 = lax.cond(ll <= 12, lit_broadcast, lit_roll,
+                                     carry)
 
             ended = ipm == iend
             ok_l = jnp.logical_and(ipm <= iend, opos1 <= olim)
