@@ -131,7 +131,30 @@ def bench_reference_linked(data: bytes):
         return None
 
 
+def _arm_watchdog():
+    """Emit a diagnostic JSON line and exit instead of hanging forever
+    if the TPU backend never comes up (the axon tunnel blocks backend
+    init indefinitely when down).  Disarmed implicitly by normal exit;
+    generous budget (default 20 min) covers cold compiles."""
+    import threading
+
+    budget = float(os.environ.get("LZ4TPU_BENCH_WATCHDOG_S", "1200"))
+
+    def fire():
+        print(json.dumps({
+            "metric": "lz4f frame decode throughput per chip (64KB blocks)",
+            "value": 0.0, "unit": "MB/s", "vs_baseline": 0.0,
+            "error": f"bench watchdog: no result within {budget:.0f}s "
+                     "(TPU backend unreachable?)"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(budget, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _arm_watchdog()
     data = get_corpus()
     mb = len(data) / 1e6
 
