@@ -53,6 +53,40 @@ from .common import on_cpu
 ERR_MALFORMED = -1
 
 
+def _make_lit12(sval, merge, lane):
+    """Shared 12-literal broadcast injection for the fast/mid sequence
+    paths of both decode kernels: up to 12 literal bytes from three
+    broadcast val32 words, shifted per lane — no window load, no roll.
+
+    Returns ``lit12(carry, lit_ip, cpos, ll, two_rows)`` producing the
+    (row1, row2) carries; with ``two_rows=False`` the second row's
+    merges are skipped (row-local fast path).  The four call sites must
+    agree on this arithmetic, which is why it lives in one place.
+    """
+    ZERO = jnp.zeros((1, 128), jnp.int32)
+
+    def lit12(carry, lit_ip, cpos, ll, two_rows):
+        w0 = sval(lit_ip)
+        wa = sval(lit_ip + 4)
+        wb = sval(lit_ip + 8)
+
+        def rows(c, base):
+            sh = jnp.clip(lane - base, 0, 3) * 8
+            c = merge(c, (w0 >> sh) & 0xFF, base, jnp.minimum(ll, 4))
+            sh2 = jnp.clip(lane - (base + 4), 0, 3) * 8
+            c = merge(c, (wa >> sh2) & 0xFF, base + 4,
+                      jnp.clip(ll - 4, 0, 4))
+            sh3 = jnp.clip(lane - (base + 8), 0, 3) * 8
+            return merge(c, (wb >> sh3) & 0xFF, base + 8,
+                         jnp.clip(ll - 8, 0, 4))
+
+        c1 = rows(carry, cpos)
+        c2 = rows(ZERO, cpos - 128) if two_rows else ZERO
+        return c1, c2
+
+    return lit12
+
+
 def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
     """mode: 'batch' (independent blocks, optional per-block dicts),
     'linked' (full-block chains, window = previous block's output), or
@@ -174,6 +208,8 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             m = jnp.logical_and(lane >= cpos, lane < cpos + take)
             return jnp.where(m, v, carry)
 
+        lit12 = _make_lit12(sval, merge, lane)
+
         # ------------------------------------------------------------------
         # general path: length extensions, row crossings, overlap doubling
         # ------------------------------------------------------------------
@@ -278,17 +314,8 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             cpos1 = cpos + ll
             opos2 = opos1 + mlen
 
-            # literal injection, branchless: up to 12 bytes from three
-            # broadcast val32 words (take <= 0 merges nothing)
-            sh = jnp.clip(lane - cpos, 0, 3) * 8
-            carry = merge(carry, (sval(ip1) >> sh) & 0xFF, cpos,
-                          jnp.minimum(ll, 4))
-            sh2 = jnp.clip(lane - (cpos + 4), 0, 3) * 8
-            carry = merge(carry, (sval(ip1 + 4) >> sh2) & 0xFF, cpos + 4,
-                          jnp.clip(ll - 4, 0, 4))
-            sh3 = jnp.clip(lane - (cpos + 8), 0, 3) * 8
-            carry = merge(carry, (sval(ip1 + 8) >> sh3) & 0xFF, cpos + 8,
-                          jnp.clip(ll - 8, 0, 4))
+            # literal injection, branchless (shared arithmetic: _make_lit12)
+            carry, _ = lit12(carry, ip1, cpos, ll, two_rows=False)
 
             ended = ipm == n
             ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
@@ -338,30 +365,9 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             opos2 = opos1 + mlen
 
             def lit_broadcast(carry):
-                # ll <= 12: inject from three broadcast val32 words — no
-                # roll (rolls don't hide under scalar, cost model)
-                w0 = sval(lit_ip)
-                wa = sval(lit_ip + 4)
-                wb = sval(lit_ip + 8)
-                sh = jnp.clip(lane - cpos, 0, 3) * 8
-                c1 = merge(carry, (w0 >> sh) & 0xFF, cpos,
-                           jnp.minimum(ll, 4))
-                sh2 = jnp.clip(lane - (cpos + 4), 0, 3) * 8
-                c1 = merge(c1, (wa >> sh2) & 0xFF, cpos + 4,
-                           jnp.clip(ll - 4, 0, 4))
-                sh3 = jnp.clip(lane - (cpos + 8), 0, 3) * 8
-                c1 = merge(c1, (wb >> sh3) & 0xFF, cpos + 8,
-                           jnp.clip(ll - 8, 0, 4))
-                shb = jnp.clip(lane - (cpos - 128), 0, 3) * 8
-                c2 = merge(ZERO, (w0 >> shb) & 0xFF, cpos - 128,
-                           jnp.minimum(ll, 4))
-                shb2 = jnp.clip(lane - (cpos - 124), 0, 3) * 8
-                c2 = merge(c2, (wa >> shb2) & 0xFF, cpos - 124,
-                           jnp.clip(ll - 4, 0, 4))
-                shb3 = jnp.clip(lane - (cpos - 120), 0, 3) * 8
-                c2 = merge(c2, (wb >> shb3) & 0xFF, cpos - 120,
-                           jnp.clip(ll - 8, 0, 4))
-                return c1, c2
+                # ll <= 12: broadcast injection — no roll (rolls don't
+                # hide under scalar, cost model); shared _make_lit12
+                return lit12(carry, lit_ip, cpos, ll, two_rows=True)
 
             def lit_roll(carry):
                 # long run (13..247 bytes): one 3-row input-window roll
@@ -868,6 +874,8 @@ def _make_stream_decode_kernel(linked: bool):
             m = jnp.logical_and(lane >= cpos, lane < cpos + take)
             return jnp.where(m, v, carry)
 
+        lit12 = _make_lit12(sval, merge, lane)
+
         def read_ext(nibble, ip, iend, hi):
             def cond(c):
                 _, _, ok, stop, _ = c
@@ -994,15 +1002,7 @@ def _make_stream_decode_kernel(linked: bool):
             cpos1 = cpos + ll
             opos2 = opos1 + mlen
 
-            sh = jnp.clip(lane - cpos, 0, 3) * 8
-            carry = merge(carry, (sval(ip1) >> sh) & 0xFF, cpos,
-                          jnp.minimum(ll, 4))
-            sh2 = jnp.clip(lane - (cpos + 4), 0, 3) * 8
-            carry = merge(carry, (sval(ip1 + 4) >> sh2) & 0xFF, cpos + 4,
-                          jnp.clip(ll - 4, 0, 4))
-            sh3 = jnp.clip(lane - (cpos + 8), 0, 3) * 8
-            carry = merge(carry, (sval(ip1 + 8) >> sh3) & 0xFF, cpos + 8,
-                          jnp.clip(ll - 8, 0, 4))
+            carry, _ = lit12(carry, ip1, cpos, ll, two_rows=False)
 
             ended = ipm == iend
             ok_l = jnp.logical_and(ipm <= iend, opos1 <= olim)
@@ -1041,29 +1041,8 @@ def _make_stream_decode_kernel(linked: bool):
             ZERO = jnp.zeros((1, 128), jnp.int32)
 
             def lit_broadcast(carry):
-                # ll <= 12: broadcast val32 words, no roll
-                w0 = sval(lit_ip)
-                wa = sval(lit_ip + 4)
-                wb = sval(lit_ip + 8)
-                sh = jnp.clip(lane - cpos, 0, 3) * 8
-                c1 = merge(carry, (w0 >> sh) & 0xFF, cpos,
-                           jnp.minimum(ll, 4))
-                sh2 = jnp.clip(lane - (cpos + 4), 0, 3) * 8
-                c1 = merge(c1, (wa >> sh2) & 0xFF, cpos + 4,
-                           jnp.clip(ll - 4, 0, 4))
-                sh3 = jnp.clip(lane - (cpos + 8), 0, 3) * 8
-                c1 = merge(c1, (wb >> sh3) & 0xFF, cpos + 8,
-                           jnp.clip(ll - 8, 0, 4))
-                shb = jnp.clip(lane - (cpos - 128), 0, 3) * 8
-                c2 = merge(ZERO, (w0 >> shb) & 0xFF, cpos - 128,
-                           jnp.minimum(ll, 4))
-                shb2 = jnp.clip(lane - (cpos - 124), 0, 3) * 8
-                c2 = merge(c2, (wa >> shb2) & 0xFF, cpos - 124,
-                           jnp.clip(ll - 4, 0, 4))
-                shb3 = jnp.clip(lane - (cpos - 120), 0, 3) * 8
-                c2 = merge(c2, (wb >> shb3) & 0xFF, cpos - 120,
-                           jnp.clip(ll - 8, 0, 4))
-                return c1, c2
+                # ll <= 12: broadcast injection, no roll (_make_lit12)
+                return lit12(carry, lit_ip, cpos, ll, two_rows=True)
 
             def lit_roll(carry):
                 # long run (13..247 bytes): one 3-row input-ring roll
