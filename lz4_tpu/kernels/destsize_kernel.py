@@ -607,6 +607,16 @@ def _sg_encode_chain(vals_rows, in_ends, caps, misc, *, T, M, acceleration,
     return out.reshape(T, M), blen, consumed, isz, osz
 
 
+def sg_chain_statics(total: int, n_in: int, n_out: int):
+    """Static kernel shapes (grid steps T, block slot width M) for one SG
+    chain walk — exposed so mesh callers can invoke _sg_encode_chain under
+    trace (shard_map lifts closure constants, so the wrapper's int() on
+    in_ends would fail there)."""
+    T = n_in + n_out + total // CHAIN_BLOCK + 4
+    M = -(-compress_bound(CHAIN_BLOCK) // 128) * 128
+    return T, M
+
+
 def sg_encode_chain(vals_rows: jax.Array, in_ends, out_caps,
                     max_dest: int, acceleration: int = 1,
                     min_match: int = 4):
@@ -627,9 +637,7 @@ def sg_encode_chain(vals_rows: jax.Array, in_ends, out_caps,
     in_ends = jnp.asarray(in_ends, jnp.int32)
     caps = jnp.asarray(out_caps, jnp.int32)
     total = int(in_ends[-1])
-    n_in, n_out = in_ends.shape[0] - 1, caps.shape[0]
-    T = n_in + n_out + total // CHAIN_BLOCK + 4
-    M = -(-compress_bound(CHAIN_BLOCK) // 128) * 128
+    T, M = sg_chain_statics(total, in_ends.shape[0] - 1, caps.shape[0])
     misc = jnp.asarray([total, int(max_dest)], jnp.int32)
     return _sg_encode_chain(vals_rows, in_ends, caps, misc, T=T, M=M,
                             acceleration=int(acceleration),

@@ -138,6 +138,182 @@ def encode_linked_sharded(mesh: Mesh, val_rows: jax.Array, lens: jax.Array,
     return mapped(val_rows, lens, prefix)
 
 
+# ---------------------------------------------------------------------------
+# scatter-gather lists over the mesh — the TPU-native analog of the
+# reference's multi-core SG story (8 independent OS processes running
+# LZ4_SG_compress, README.md:39-45): L independent iovec lists, one
+# chain kernel per list, lists sharded over the mesh axis.
+# ---------------------------------------------------------------------------
+
+def sg_compress_mesh(mesh: Mesh, lists, out_caps, acceleration: int = 1):
+    """Compress many independent SG lists data-parallel over the mesh.
+
+    Every list must share one input layout (identical buffer lengths) so
+    a single compiled chain kernel serves all shards; ``out_caps`` is
+    shared too.  Each device walks its lists sequentially (lax.map) with
+    the whole buffer-pair walk on device; the host then replays each
+    list's per-step results into the wire-exact SG walk (headers,
+    zero-pads, endmark — sg.sg_compress bookkeeping).
+
+    Returns a list of (total_out, consumed, out_bufs) per input list.
+    """
+    from .. import sg as sg_mod
+    from ..kernels.common import on_cpu
+    from ..kernels.destsize_kernel import _sg_encode_chain, sg_chain_statics
+    from ..tpu import fetch_byte_rows
+
+    if not lists:
+        return []
+    layout = tuple(len(b) for b in lists[0])
+    for lst in lists[1:]:
+        if tuple(len(b) for b in lst) != layout:
+            raise ValueError("sg_compress_mesh requires one shared input "
+                             "layout across lists (use sg_compress per "
+                             "list for ragged layouts)")
+    caps = [int(c) for c in out_caps]
+    max_dest = sum(caps)
+
+    vals0, in_ends, total = sg_mod.sg_chain_vals(lists[0])
+    if total == 0 or total > (1 << 28):
+        raise ValueError("list layout outside the chain kernel envelope")
+    stacked = [vals0] + [sg_mod.sg_chain_vals(lst)[0] for lst in lists[1:]]
+    L = len(lists)
+    D = mesh.shape[AXIS]
+    Lp = -(-L // D) * D
+    stacked += [vals0] * (Lp - L)          # padding lists: results dropped
+    vals = jnp.stack(stacked)
+    T, M = sg_chain_statics(total, len(layout), len(caps))
+    in_ends_j = jnp.asarray(in_ends, jnp.int32)
+    caps_j = jnp.asarray(caps, jnp.int32)
+    misc_j = jnp.asarray([total, max_dest], jnp.int32)
+    interp = on_cpu()
+
+    def body(v):
+        return jax.lax.map(
+            lambda vr: _sg_encode_chain(
+                vr, in_ends_j, caps_j, misc_j, T=T, M=M,
+                acceleration=int(acceleration), interpret=interp,
+                min_match=4), v)
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, None, None),),
+        out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS, None),
+                   P(AXIS, None), P(AXIS, None)),
+        check_vma=False,
+    )
+    out, blen, consumed, isz, osz = mapped(shard_rows(mesh, vals))
+    blen, consumed = np.asarray(blen), np.asarray(consumed)
+    isz, osz = np.asarray(isz), np.asarray(osz)
+    T = blen.shape[1]
+    maxb = int(blen[:L].max(initial=0))
+    maxb4 = -(-max(maxb, 4) // 4) * 4
+    rows = fetch_byte_rows(out[:L].reshape(L * T, -1)[:, :maxb4]) \
+        .reshape(L, T, maxb4)
+
+    results = []
+    for i, lst in enumerate(lists):
+        live = int((blen[i] >= 0).sum())
+        scripted = sg_mod.sg_scripted_replay(rows[i], blen[i], consumed[i],
+                                             isz[i], osz[i], live)
+        try:
+            results.append(sg_mod.sg_compress(
+                lst, caps, dest_size_compress=scripted))
+        except sg_mod._SgDeviceUnsupported:
+            results.append(sg_mod.sg_compress(lst, caps))
+    return results
+
+
+def sg_decompress_mesh(mesh: Mesh, comp_lists, out_caps):
+    """Decompress many independent SG frames data-parallel over the mesh.
+
+    ``comp_lists`` is a list of compressed iovec lists; ``out_caps`` the
+    shared original buffer sizes (the SG contract: decompress buffers
+    must equal the compression input sizes, lz4sg.h:96-100).  Each frame's
+    iovec walk runs on host (header/zero-pad bookkeeping, exact errors);
+    the block chains execute on device, sharded over the mesh.  Frames
+    whose chain layout diverges from the first (different block count —
+    possible from zero-pad placement) fall back to per-frame decode.
+
+    Returns a list of (total, out_bufs) per frame.
+    """
+    from .. import sg as sg_mod
+    from ..kernels.decode_kernel import decode_blocks_sg
+    from ..tpu import fetch_byte_rows
+
+    if not comp_lists:
+        return []
+    caps = [int(c) for c in out_caps]
+
+    # host walk each frame with a collecting stand-in codec (conformant
+    # frames fill each slice exactly) to extract its block chain
+    chains, totals = [], []
+    for bufs in comp_lists:
+        collected = []
+
+        def collector(comp, out_cap, dict_, _c=collected):
+            if len(comp) == 1 and comp == b"\x00":
+                return b""
+            _c.append((bytes(comp), out_cap))
+            return b"\x00" * out_cap
+
+        total, _ = sg_mod.sg_decompress(bufs, caps,
+                                        block_decompress=collector)
+        chains.append(collected)
+        totals.append(total)
+
+    sizes0 = [sz for _, sz in chains[0]]
+    uniform = [i for i, ch in enumerate(chains)
+               if [sz for _, sz in ch] == sizes0 and sizes0 and
+               max(sz for _, sz in ch) <= 65536]
+    results: list = [None] * len(comp_lists)
+    if len(uniform) >= 2:
+        B = len(sizes0)
+        M = max(len(c) for i in uniform for c, _ in chains[i])
+        M = -(-M // 128) * 128
+        D = mesh.shape[AXIS]
+        L = len(uniform)
+        Lp = -(-L // D) * D
+        comp = np.zeros((Lp, B, M), np.int32)
+        clen = np.zeros((Lp, B), np.int32)
+        for k, i in enumerate(uniform):
+            for j, (c, _) in enumerate(chains[i]):
+                comp[k, j, :len(c)] = np.frombuffer(c, np.uint8)
+                clen[k, j] = len(c)
+        comp[L:] = comp[0]
+        clen[L:] = clen[0]
+
+        def body(c, ln):
+            return jax.lax.map(
+                lambda args: decode_blocks_sg(args[0], args[1], sizes0),
+                (c, ln))
+
+        mapped = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(AXIS, None, None), P(AXIS, None)),
+            out_specs=(P(AXIS, None, None), P(AXIS, None)),
+            check_vma=False,
+        )
+        out, olen = mapped(shard_rows(mesh, jnp.asarray(comp)),
+                           shard_rows(mesh, jnp.asarray(clen)))
+        olen = np.asarray(olen)
+        tot0 = sum(sizes0)
+        for k, i in enumerate(uniform):
+            if (olen[k, :B] == np.asarray(sizes0)).all():
+                flat = fetch_byte_rows(out[k]).reshape(-1)
+                content = bytes(flat[65536:65536 + tot0])
+                outs, pos = [], 0
+                for c in caps:
+                    outs.append(content[pos:pos + c])
+                    pos += c
+                results[i] = (totals[i], outs)
+
+    for i, bufs in enumerate(comp_lists):
+        if results[i] is None:   # ragged chain or kernel mismatch
+            results[i] = sg_mod.sg_decompress(bufs, caps)
+    return results
+
+
 def compress_frame_mesh(mesh: Mesh, data: bytes,
                         content_checksum: bool = True,
                         acceleration: int = 1,

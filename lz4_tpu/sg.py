@@ -428,14 +428,55 @@ class _SgDeviceUnsupported(Exception):
     """Layout outside the device kernel's envelope; take the host path."""
 
 
+def sg_chain_vals(in_bufs):
+    """Build the SG chain kernel's input layout for one list: val32 lanes
+    of ``zeros(64KB lead) | concat(in_bufs) | zeros(tail)`` plus the
+    cumulative input-end offsets (kernels/destsize_kernel.sg_encode_chain
+    contract).  Returns (vals_rows [R,128] device array, in_ends int32[n+1],
+    total)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from .kernels.destsize_kernel import LEAD
+    from .kernels.encode_kernel import bytes_to_val32_rows
+
+    total = sum(len(b) for b in in_bufs)
+    in_ends = np.zeros(len(in_bufs) + 1, np.int64)
+    np.cumsum([len(b) for b in in_bufs], out=in_ends[1:])
+    W = 2 * spec.WINDOW_SIZE
+    padded = LEAD + total + W + 256
+    padded = -(-padded // 128) * 128
+    flat = np.zeros(padded, np.uint8)
+    flat[LEAD:LEAD + total] = np.frombuffer(b"".join(in_bufs), np.uint8)
+    packed = flat.view("<i4")[None, :]
+    vals = bytes_to_val32_rows(jnp.asarray(packed), padded)
+    return vals.reshape(padded // 128, 128), in_ends.astype(np.int32), total
+
+
+def sg_scripted_replay(rows, blen, consumed, isz, osz, live):
+    """DestSizeCompressor that replays per-step chain-kernel results into
+    the host SG walk.  Asserts, call by call, that the walk presents
+    exactly the source piece and capacity the kernel assumed — any
+    divergence raises _SgDeviceUnsupported and the caller falls back."""
+    steps = iter(range(live))
+
+    def scripted(src_piece, o_size, window, accel):
+        try:
+            t = next(steps)
+        except StopIteration:
+            raise _SgDeviceUnsupported() from None
+        if len(src_piece) != int(isz[t]) or o_size != int(osz[t]):
+            raise _SgDeviceUnsupported()
+        return int(consumed[t]), rows[t, :blen[t]].tobytes()
+
+    return scripted
+
+
 def _sg_device_scripted(in_bufs, out_caps, source_size, max_output,
                         acceleration):
     """Run the whole SG compression walk on device (one Pallas chain
     kernel, kernels/destsize_kernel.sg_encode_chain) and return a scripted
-    DestSizeCompressor that replays its per-step results into the host
-    walk.  The script asserts, call by call, that the host walk presents
-    exactly the source piece and capacity the kernel assumed — any
-    divergence raises _SgDeviceUnsupported and the caller falls back.
+    DestSizeCompressor replaying its per-step results into the host walk.
     """
     import numpy as np
 
@@ -446,23 +487,11 @@ def _sg_device_scripted(in_bufs, out_caps, source_size, max_output,
         raise _SgDeviceUnsupported()   # partial-source walks stay on host
     max_dest = sum(out_caps) if max_output is None else max_output
 
-    import jax.numpy as jnp
-    from .kernels.destsize_kernel import LEAD, sg_encode_chain
-    from .kernels.encode_kernel import bytes_to_val32_rows
+    from .kernels.destsize_kernel import sg_encode_chain
 
-    in_ends = np.zeros(len(in_bufs) + 1, np.int64)
-    np.cumsum([len(b) for b in in_bufs], out=in_ends[1:])
-    W = 2 * spec.WINDOW_SIZE
-    padded = LEAD + total + W + 256
-    padded = -(-padded // 128) * 128
-    flat = np.zeros(padded, np.uint8)
-    flat[LEAD:LEAD + total] = np.frombuffer(b"".join(in_bufs), np.uint8)
-    packed = flat.view("<i4")[None, :]
-    vals = bytes_to_val32_rows(jnp.asarray(packed), padded)
-    vals_rows = vals.reshape(padded // 128, 128)
-
+    vals_rows, in_ends, _ = sg_chain_vals(in_bufs)
     out, blen, consumed, isz, osz = sg_encode_chain(
-        vals_rows, in_ends.astype(np.int32),
+        vals_rows, in_ends,
         np.asarray(out_caps, np.int32), max_dest, acceleration)
     blen, consumed = np.asarray(blen), np.asarray(consumed)
     isz, osz = np.asarray(isz), np.asarray(osz)
@@ -476,18 +505,7 @@ def _sg_device_scripted(in_bufs, out_caps, source_size, max_output,
         maxb4 = -(-max(maxb, 4) // 4) * 4
         rows = fetch_byte_rows(out[:live, :maxb4])
 
-    steps = iter(range(live))
-
-    def scripted(src_piece, o_size, window, accel):
-        try:
-            t = next(steps)
-        except StopIteration:
-            raise _SgDeviceUnsupported() from None
-        if len(src_piece) != int(isz[t]) or o_size != int(osz[t]):
-            raise _SgDeviceUnsupported()
-        return int(consumed[t]), rows[t, :blen[t]].tobytes()
-
-    return scripted
+    return sg_scripted_replay(rows, blen, consumed, isz, osz, live)
 
 
 def _sg_decompress_device(in_bufs, out_caps, compressed_size, max_output):

@@ -396,3 +396,45 @@ def test_device_sg_large_blocks_stream_path():
         assert ret > 0
         assert b"".join(ref_outs)[:len(data)] == data
         assert outs_dev == [bytes(o) for o in ref_outs]
+
+
+def test_sg_mesh_roundtrip():
+    """SG lists over a device mesh (the reference's 8-process multi-core
+    SG analog, README.md:39-45): uniform 4-buffer lists sharded across
+    the 8-device virtual mesh, compressed by the chain kernel per list,
+    decoded back sharded — results must match the single-list paths and
+    stay LZ4F-decodable."""
+    from lz4_tpu.parallel.mesh import (default_mesh, sg_compress_mesh,
+                                       sg_decompress_mesh)
+
+    mesh = default_mesh(8)
+    sizes = [2048] * 4
+    L = 4
+    lists = [split_buffers(gen_buffer(8192, 0.8, 4_000 + i), sizes)
+             for i in range(L)]
+    caps = [2048 + 256] * 5
+
+    results = sg_compress_mesh(mesh, lists, caps)
+    assert len(results) == L
+    comp_lists = []
+    for i, (total, consumed, outs) in enumerate(results):
+        assert consumed == 8192 and total > 0
+        # plain LZ4F decodability of every frame (sgtest.c:258-354)
+        content, _ = decompress_frame(concat_filled(outs, caps, total))
+        assert content == b"".join(lists[i])
+        comp_lists.append(trim_to_filled(outs, caps, total))
+
+    decoded = sg_decompress_mesh(mesh, comp_lists, sizes)
+    for i, (total, outs) in enumerate(decoded):
+        assert total == 8192
+        assert [bytes(o) for o in outs] == lists[i]
+
+
+def test_sg_mesh_requires_uniform_layout():
+    from lz4_tpu.parallel.mesh import default_mesh, sg_compress_mesh
+
+    mesh = default_mesh(8)
+    a = split_buffers(gen_buffer(4096, 0.8, 1), [2048, 2048])
+    b = split_buffers(gen_buffer(4096, 0.8, 2), [1024, 3072])
+    with pytest.raises(ValueError):
+        sg_compress_mesh(mesh, [a, b], [4096 + 256])
