@@ -34,17 +34,46 @@ RUNS = 3
 PUBLISHED_DECODE_MBS = 2297.0  # reference README.md:28
 
 
+CORPUS_KIND = os.environ.get("LZ4TPU_BENCH_CORPUS", "datagen")
+
+
+def _real_text_corpus(nbytes: int) -> bytes:
+    """Deterministic real-text corpus: Python stdlib sources concatenated
+    in sorted order (Silesia is not obtainable offline; this is real
+    structured text with Silesia-like redundancy, identical bytes for
+    both sides of the comparison)."""
+    import sysconfig
+    root = Path(sysconfig.get_paths()["stdlib"])
+    parts, size = [], 0
+    for p in sorted(root.rglob("*.py")):
+        try:
+            b = p.read_bytes()
+        except OSError:
+            continue
+        parts.append(b)
+        size += len(b)
+        if size >= nbytes:
+            break
+    data = b"".join(parts)[:nbytes]
+    if len(data) < nbytes:   # stdlib smaller than requested: repeat
+        data = (data * (nbytes // max(len(data), 1) + 1))[:nbytes]
+    return data
+
+
 def get_corpus() -> bytes:
-    cache = Path(f"/tmp/lz4t_corpus_{CORPUS_MB}mb.bin")
+    cache = Path(f"/tmp/lz4t_corpus_{CORPUS_KIND}_{CORPUS_MB}mb.bin")
     if cache.exists():
         return cache.read_bytes()
-    from lz4_tpu.utils.datagen import gen_buffer
-    parts = []
-    probs = [0.5, 0.7, 0.8, 0.9]
-    per = CORPUS_MB * (1 << 20) // len(probs)
-    for i, p in enumerate(probs):
-        parts.append(gen_buffer(per, p, seed=7_000 + i))
-    data = b"".join(parts)
+    if CORPUS_KIND == "pytext":
+        data = _real_text_corpus(CORPUS_MB * (1 << 20))
+    else:
+        from lz4_tpu.utils.datagen import gen_buffer
+        parts = []
+        probs = [0.5, 0.7, 0.8, 0.9]
+        per = CORPUS_MB * (1 << 20) // len(probs)
+        for i, p in enumerate(probs):
+            parts.append(gen_buffer(per, p, seed=7_000 + i))
+        data = b"".join(parts)
     cache.write_bytes(data)
     return data
 
@@ -270,9 +299,12 @@ def main():
         "min_match": MM,
         "reject_step": RJ,
         "corpus_mb": round(mb, 1),
-        "corpus_note": "datagen mix p=0.5/0.7/0.8/0.9 (Silesia is not "
-                       "obtainable offline; both sides measured on "
-                       "identical bytes)",
+        "corpus_note": ("datagen mix p=0.5/0.7/0.8/0.9"
+                        if CORPUS_KIND != "pytext" else
+                        "python stdlib sources (real text)") +
+                       " (Silesia is not obtainable offline; both sides "
+                       "measured on identical bytes; "
+                       "LZ4TPU_BENCH_CORPUS=pytext selects real text)",
         "baseline_decode_mbs": round(base_dec, 1),
         "baseline_encode_mbs": round(ref["enc_mbs"], 1) if ref else None,
         "baseline_ratio": round(ref["ratio"], 4) if ref else None,
