@@ -68,6 +68,58 @@ def decompress_safe_partial(comp: bytes, target: int) -> bytes:
     return block_np.decompress_block(comp, target, partial=True)
 
 
+def decompress_fast(comp: bytes, original_size: int,
+                    dict_: bytes = b"") -> Tuple[bytes, int]:
+    """``LZ4_decompress_fast`` (lz4.h:219) / ``_fast_usingDict``
+    (lz4.h:331): decode exactly ``original_size`` bytes and report how
+    many compressed bytes were read, so callers can walk concatenated
+    blocks.  Unlike the C entry (which trusts its input) this stays
+    bounds-checked — the reference marks the speed trick "unprotected";
+    safety here costs nothing because the host path is an oracle."""
+    comp = bytes(comp)
+    n = len(comp)
+    produced, i = 0, 0
+    while True:
+        if i >= n:
+            raise block_np.Lz4BlockError("truncated: missing token")
+        token = comp[i]
+        i += 1
+        litlen = token >> 4
+        if litlen == 15:
+            while True:
+                if i >= n:
+                    raise block_np.Lz4BlockError("truncated literal length")
+                b = comp[i]
+                i += 1
+                litlen += b
+                if b != 255:
+                    break
+        i += litlen
+        produced += litlen
+        if produced == original_size:
+            break                     # literals-only last sequence
+        if i + 2 > n:
+            raise block_np.Lz4BlockError("truncated offset")
+        i += 2
+        mlen = token & 15
+        if mlen == 15:
+            while True:
+                if i >= n:
+                    raise block_np.Lz4BlockError("truncated match length")
+                b = comp[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        produced += mlen + 4
+        if produced > original_size:
+            raise block_np.Lz4BlockError(
+                "block does not decode to original_size")
+    if i > n:
+        raise block_np.Lz4BlockError("truncated literals")
+    return block_np.decompress_block(comp[:i], original_size, dict_), i
+
+
 def compress_batch(buffers: List[bytes], block_size: int = 65536,
                    acceleration: int = 1, min_match: int = 4):
     """Batch compression on the device: every buffer is one grid step of

@@ -78,3 +78,21 @@ def test_batch_device_paths():
     outs = block.decompress_batch(comps, 65536,
                                   out_lens=[len(b) for b in bufs])
     assert outs == bufs
+
+
+def test_decompress_fast_consumed():
+    """LZ4_decompress_fast parity: exact original_size decode reports the
+    compressed bytes consumed, so concatenated blocks can be walked."""
+    a = gen_buffer(4096, 0.7, 71)
+    b = gen_buffer(2048, 0.6, 72)
+    ca, cb = block.compress_default(a), block.compress_default(b)
+    blob = ca + cb + b"garbage-tail"
+    out, consumed = block.decompress_fast(blob, len(a))
+    assert out == a and consumed == len(ca)
+    out2, consumed2 = block.decompress_fast(blob[consumed:], len(b))
+    assert out2 == b and consumed2 == len(cb)
+    # wrong original_size fails loudly
+    import pytest
+    from lz4_tpu.ops.block_np import Lz4BlockError
+    with pytest.raises(Lz4BlockError):
+        block.decompress_fast(ca, len(a) - 1)
