@@ -104,7 +104,7 @@ def hash_rows(val: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def cand_delta_rows(val: jax.Array) -> jax.Array:
+def cand_delta_rows(val: jax.Array, filter_rows=None) -> jax.Array:
     """[B, N] val32 rows -> [B, N] int32 candidate deltas: lane p holds
     ``p - p'`` for the NEAREST p' < p whose 5 bytes equal p's within the
     65535-byte match window, or 0 when none exists.
@@ -118,19 +118,44 @@ def cand_delta_rows(val: jax.Array) -> jax.Array:
     (lz4.c:462-468): a 4-byte key finds nearest-but-weak candidates
     (common 4-grams are everywhere) and was measured 4-10% worse on
     ratio; 5 bytes biases candidates toward longer matches.
+
+    ``filter_rows`` (optional [B] bool): rows flagged True get the
+    min_match>=11 NECESSARY-condition pre-filter applied HERE, on the
+    VPU, instead of in the scalar scan: a total (forward+backward)
+    length >= 11 needs forward >= 8 (val32 at +4 equal) or backward
+    >= 4 (val32 at -4 equal).  The two extra words ride the sort as
+    passenger operands, so candidates that cannot reach min_match are
+    zeroed before the scan ever sees them — the scalar loop's two
+    probe loads and the rejected-candidate extension walks disappear.
+    Survivors still get the exact ``ml >= min_match`` test in-kernel,
+    so this only prunes candidates the scan would reject anyway (the
+    wrapped-lane compares at row edges are heuristic in exactly the
+    way the in-kernel clamped loads were — necessary-only either way).
     """
     B, N = val.shape
     assert N <= (1 << 18)
     pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
     b5 = jnp.roll(val, -4, axis=-1) & 0xFF
     k2 = (b5 << 18) | pos
-    sk, sk2 = lax.sort((val, k2), dimension=1, num_keys=2)
+    if filter_rows is None:
+        sk, sk2 = lax.sort((val, k2), dimension=1, num_keys=2)
+        keep = None
+    else:
+        v4 = jnp.roll(val, -4, axis=-1)
+        vm4 = jnp.roll(val, 4, axis=-1)
+        sk, sk2, sv4, svm4 = lax.sort((val, k2, v4, vm4), dimension=1,
+                                      num_keys=2)
+        fwd8 = sv4[:, 1:] == sv4[:, :-1]
+        bwd4 = svm4[:, 1:] == svm4[:, :-1]
+        keep = jnp.logical_or(
+            jnp.logical_or(fwd8, bwd4),
+            jnp.logical_not(filter_rows.reshape(B, 1)))
     sp = sk2 & ((1 << 18) - 1)
-    same = jnp.concatenate(
-        [jnp.zeros((B, 1), bool),
-         jnp.logical_and(sk[:, 1:] == sk[:, :-1],
-                         (sk2 >> 18)[:, 1:] == (sk2 >> 18)[:, :-1])],
-        axis=1)
+    same = jnp.logical_and(sk[:, 1:] == sk[:, :-1],
+                           (sk2 >> 18)[:, 1:] == (sk2 >> 18)[:, :-1])
+    if keep is not None:
+        same = jnp.logical_and(same, keep)
+    same = jnp.concatenate([jnp.zeros((B, 1), bool), same], axis=1)
     prev = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), sp[:, :-1]], axis=1)
     d = jnp.where(same, sp - prev, 0)
@@ -139,8 +164,28 @@ def cand_delta_rows(val: jax.Array) -> jax.Array:
     return dd
 
 
+@jax.jit
+def _jump_rows(d: jax.Array) -> jax.Array:
+    """[R, N] candidate deltas -> [R, N] int32 distance from each lane to
+    the NEXT lane (>= itself) holding a candidate (N-pos when none, so a
+    barren tail jumps straight out of the scan), clipped to 65535.
+
+    The scan's skip path advances by max(accel step, jump): lanes between
+    a barren position and its next candidate can produce neither a match
+    nor a probe, so eliding their visits is EXACT — same output bytes or
+    better probe density (fewer visits grow the accel step more slowly).
+    The reference's skip trigger (lz4.c:586-594) gambles geometrically on
+    barren runs; the sorted pass has already measured them."""
+    R, N = d.shape
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (R, N))
+    cand = jnp.where(d > 0, pos, N)
+    nextc = jnp.flip(lax.cummin(jnp.flip(cand, axis=1), axis=1), axis=1)
+    return jnp.minimum(nextc - pos, 65535)
+
+
 def _make_encode_kernel(NS: int, M: int, acceleration: int,
-                        min_match: int = 4, reject_step: int = 1):
+                        min_match: int = 4, reject_step: int = 1,
+                        prefiltered: bool = False):
     def kernel(slen_ref, val_hbm, d_hbm, out_hbm, olen_ref,
                vsmem, dsmem, osmem, sem_in, sem_d, sem_out):
         b = pl.program_id(0)
@@ -221,18 +266,12 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int,
                                                       reject_step),
                                      op, anchor, scnt + 1))
 
-        def skip(ip, op, anchor, scnt):
-            step = scnt >> SKIP_TRIGGER
-            return ip + step, op, anchor, scnt + 1
-
         def probe_filter(ipx, q):
-            """min-match pre-filter: a total (forward+backward) length
-            >= 11 needs forward >= 8 (word at +4 matches) or backward
-            >= 4 (word at -4); two loads reject most short candidates
-            without paying the extension loops.  NECESSARY-only —
-            survivors still get the exact ml >= min_match test, so the
-            scan trajectory matches the unfiltered kernel."""
-            if min_match < 11:
+            """min-match pre-filter (necessary-only; see the docstring of
+            cand_delta_rows).  With ``prefiltered`` the VPU already zeroed
+            failing candidates during the sorted pass, so the scan pays
+            nothing here."""
+            if prefiltered or min_match < 11:
                 return jnp.bool_(True)
             w1 = val(q + 4) == val(ipx + 4)
             b1 = val(jnp.maximum(q - 4, 0)) == \
@@ -241,14 +280,23 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int,
 
         def main_body(state):
             ip, op, anchor, scnt = state
-            d = delta(ip)
+            w = delta(ip)
+            d = w & 0xFFFF
             q = ip - d
             # d > 0 <=> a previous equal val32 within 65535 bytes exists;
-            # no validation load — the candidate is exact by construction
+            # no validation load — the candidate is exact by construction.
+            # High 16 bits: distance to the next candidate (_jump_rows) —
+            # a barren position jumps the whole candidate-free run.
             good = jnp.logical_and(d > 0, probe_filter(ip, q))
+
+            def skip():
+                step = jnp.maximum(scnt >> SKIP_TRIGGER,
+                                   (w >> 16) & 0xFFFF)
+                return ip + step, op, anchor, scnt + 1
+
             return lax.cond(good,
                             lambda: with_match(ip, op, anchor, scnt, q),
-                            lambda: skip(ip, op, anchor, scnt))
+                            skip)
 
         def main_cond(state):
             ip, op, anchor, scnt = state
@@ -277,7 +325,12 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int,
 def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret,
                    min_match=4, reject_step=1):
     B = val_rows.shape[0]
-    d_rows = cand_delta_rows(val_rows)
+    prefiltered = min_match >= 11
+    d_rows = cand_delta_rows(
+        val_rows,
+        jnp.ones((B,), bool) if prefiltered else None)
+    # barren-jump distances ride the spare high 16 bits (deltas <= 65535)
+    d_rows = d_rows | (_jump_rows(d_rows) << 16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -297,7 +350,8 @@ def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret,
         ],
     )
     out, olen = pl.pallas_call(
-        _make_encode_kernel(NS, M, acceleration, min_match, reject_step),
+        _make_encode_kernel(NS, M, acceleration, min_match, reject_step,
+                            prefiltered),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
@@ -371,7 +425,8 @@ def cand_frac8_rows(val: jax.Array) -> jax.Array:
 
 def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
                                min_match: int = 4, reject_step: int = 1,
-                               dynamic_mm: bool = False):
+                               dynamic_mm: bool = False,
+                               prefiltered: bool = False):
     """Chained-block encoder: grid (streams, blocks); each grid step's
     SMEM val window covers [prev block | current block] and the sorted-
     candidate pass runs over the whole window, so matches reach into the
@@ -401,11 +456,13 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
 
     def kernel(slen_ref, prefix_ref, *rest):
         if dynamic_mm:
-            (mm_ref, val_hbm, d_hbm, out_hbm, olen_ref,
-             vsmem, dsmem, osmem, sem_in, sem_d, sem_out) = rest
+            (mm_ref, val_hbm, d_hbm, j_hbm, out_hbm, olen_ref,
+             vsmem, dsmem, jsmem, osmem,
+             sem_in, sem_d, sem_j, sem_out) = rest
         else:
-            (val_hbm, d_hbm, out_hbm, olen_ref,
-             vsmem, dsmem, osmem, sem_in, sem_d, sem_out) = rest
+            (val_hbm, d_hbm, j_hbm, out_hbm, olen_ref,
+             vsmem, dsmem, jsmem, osmem,
+             sem_in, sem_d, sem_j, sem_out) = rest
         s = pl.program_id(0)
         k = pl.program_id(1)
         nb = pl.num_programs(1)
@@ -418,8 +475,12 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
         cp_d = pltpu.make_async_copy(d_hbm.at[s, k],
                                      dsmem.at[:, 0:NS // 2], sem_d)
         cp_d.start()
+        cp_j = pltpu.make_async_copy(j_hbm.at[s, k],
+                                     jsmem.at[:, 0:NS // 4], sem_j)
+        cp_j.start()
         cp_in.wait()
         cp_d.wait()
+        cp_j.wait()
 
         start = k * WINDOW              # global position of block start
         base = start - WINDOW           # global position of SMEM lane 0
@@ -483,16 +544,26 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
                                      op, anchor, scnt + 1))
 
         def skip(ip, op, anchor, scnt):
+            # barren-jump (see _jump_rows): jsmem[k] holds the block-
+            # relative position of the next candidate at/after lane 4k
+            # (4-granular: a full-resolution row would not fit SMEM
+            # beside the 128KB val window).  Aligned landings snap to
+            # the run's end — EXACT, since the elided lanes hold no
+            # candidate; unaligned landings step normally and reach an
+            # aligned lane within <= 3 visits.
             step = scnt >> SKIP_TRIGGER
-            return ip + step, op, anchor, scnt + 1
+            ip2 = ip + step
+            j = ip2 - start
+            snap = start + jsmem[0, jnp.minimum(j >> 2, NS // 4 - 1)]
+            take = jnp.logical_and((j & 3) == 0, j < NS)
+            ip2 = jnp.where(take, jnp.maximum(ip2, snap), ip2)
+            return ip2, op, anchor, scnt + 1
 
         def probe_filter(ipx, q):
-            """See _make_encode_kernel.  The -4 candidate load may fall
-            below ``low``: backward extension is bounded by low/anchor
-            there anyway, so an arbitrary compare result cannot cause a
-            wrong accept-into-padding (the scan's with_match still
-            bounds every read)."""
-            if not dynamic_mm and min_match < 11:
+            """See _make_encode_kernel.  With ``prefiltered`` the sorted
+            pass already zeroed failing candidates (per-row gated by
+            mm >= 11 in dynamic mode), so the scan pays nothing here."""
+            if prefiltered or (not dynamic_mm and min_match < 11):
                 return jnp.bool_(True)
             w1 = val(q + 4) == val(ipx + 4)
             b1 = val(jnp.maximum(q - 4, low)) == val(ipx - 4)
@@ -550,14 +621,32 @@ def _encode_blocks_linked(val_rows, slen, prefix, mm_rows=None, *, NS, M,
     W = WINDOW + NS
     # candidate deltas over the whole [window | block] row — candidates
     # reach into the previous block / dictionary prefix by construction;
-    # only the NS block lanes ship to the kernel, packed 2 per int32
-    d_full = cand_delta_rows(val_rows.reshape(S * NB, W))[:, WINDOW:]
+    # only the NS block lanes ship to the kernel, packed 2 per int32.
+    # The min_match>=11 pre-filter rides the same sorted pass (per-row
+    # gated in dynamic mode so static mm=K and mm_rows=[K..] stay
+    # bit-identical).
+    prefiltered = dynamic_mm or min_match >= 11
+    if dynamic_mm:
+        filter_rows = mm_rows.reshape(S * NB) >= 11
+    elif min_match >= 11:
+        filter_rows = jnp.ones((S * NB,), bool)
+    else:
+        filter_rows = None
+    d_full = cand_delta_rows(val_rows.reshape(S * NB, W),
+                             filter_rows)[:, WINDOW:]
     dp = d_full.reshape(S, NB, NS // 2, 2)
     d_rows = dp[..., 0] | (dp[..., 1] << 16)
+    # barren-jump side table (4-granular; see the kernel's skip()):
+    # block-relative position of the next candidate at/after lane 4k
+    posr = jnp.arange(NS, dtype=jnp.int32)
+    cand = jnp.where(d_full > 0, posr[None, :], NS)
+    nextc = jnp.flip(lax.cummin(jnp.flip(cand, axis=1), axis=1), axis=1)
+    j_rows = nextc[:, ::4]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if dynamic_mm else 2,
         grid=(S, NB),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -566,7 +655,9 @@ def _encode_blocks_linked(val_rows, slen, prefix, mm_rows=None, *, NS, M,
         scratch_shapes=[
             pltpu.SMEM((1, W + 8), jnp.int32),
             pltpu.SMEM((1, NS // 2 + 8), jnp.int32),
+            pltpu.SMEM((1, NS // 4 + 8), jnp.int32),
             pltpu.SMEM((1, M + 8), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -577,7 +668,7 @@ def _encode_blocks_linked(val_rows, slen, prefix, mm_rows=None, *, NS, M,
         scalars = scalars + (mm_rows.reshape(S * NB).astype(jnp.int32),)
     out, olen = pl.pallas_call(
         _make_encode_linked_kernel(NS, M, acceleration, min_match,
-                                   reject_step, dynamic_mm),
+                                   reject_step, dynamic_mm, prefiltered),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((S, NB, 1, M), jnp.int32),
@@ -586,7 +677,8 @@ def _encode_blocks_linked(val_rows, slen, prefix, mm_rows=None, *, NS, M,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(*scalars, val_rows.reshape(S, NB, 1, W),
-      d_rows.reshape(S, NB, 1, NS // 2))
+      d_rows.reshape(S, NB, 1, NS // 2),
+      j_rows.reshape(S, NB, 1, NS // 4))
     return out.reshape(S, NB, M), olen.reshape(S, NB)
 
 
