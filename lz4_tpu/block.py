@@ -68,6 +68,22 @@ def decompress_safe_partial(comp: bytes, target: int) -> bytes:
     return block_np.decompress_block(comp, target, partial=True)
 
 
+def decompress_dest_size(comp: bytes, dest_capacity: int,
+                         dict_: bytes = b"") -> Tuple[bytes, int]:
+    """The fork's resumable destSize decode (reference
+    ``LZ4_decompress_destSize_generic``, lz4.c:1098-1320): fill at most
+    ``dest_capacity`` output bytes, stopping at a token boundary (the
+    ``token_ip``/``token_op`` rewind, lz4.c:1161-1163, 1316-1319), and
+    report the source bytes consumed so the caller can resume with more
+    input/output.  Returns ``(produced, consumed_src)``; the block is
+    done when ``consumed_src == len(comp)``.  See also
+    :meth:`lz4_tpu.stream.BlockDecompressStream.decompress_dest_size_continue`
+    for the chained-window form."""
+    consumed, out = block_np.decompress_block_dest_size(
+        comp, dest_capacity, dict_)
+    return out, consumed
+
+
 def decompress_fast(comp: bytes, original_size: int,
                     dict_: bytes = b"") -> Tuple[bytes, int]:
     """``LZ4_decompress_fast`` (lz4.h:219) / ``_fast_usingDict``

@@ -77,16 +77,44 @@ def _derive_output(input_name: str, decompress: bool) -> str:
     return input_name + LZ4_EXTENSION
 
 
+def _timed_rate(fn, nbytes: int, iterations: int, min_seconds: float):
+    """Reference bench protocol (programs/bench.c:99-100, 358-408): each
+    measurement loops ``fn`` until at least ``min_seconds`` of wall time
+    have elapsed (so short inputs are not dispatch-noise), rate = bytes
+    processed / elapsed; best rate over ``iterations`` measurements.
+    Returns (best_bytes_per_second, last_result)."""
+    best = 0.0
+    result = None
+    for _ in range(max(1, iterations)):
+        loops = 0
+        t0 = time.perf_counter()
+        while True:
+            result = fn()
+            loops += 1
+            el = time.perf_counter() - t0
+            if el >= min_seconds:
+                break
+        best = max(best, nbytes * loops / max(el, 1e-9))
+    return best, result
+
+
 def _bench(paths, prefs: IoPrefs, level: int, iterations: int) -> int:
     """-b mode (parity: BMK_benchFiles, programs/bench.c:240-434):
-    4MB chunks, best-of-N timed loops, checksum-verified round trip."""
+    4MB default chunking (bench.c:107), >=2s timed windows per
+    measurement / best-of-N (bench.c:99-100, 358-408), and an XXH32
+    round-trip verification (bench.c:346, 406-407).  LZ4T_BENCH_SECONDS
+    shortens the window for CI."""
+    import numpy as _np
+
     from .ops.xxhash_native import xxh32
-    from .frame import FramePreferences
     from .hc import compress_hc_block
     from .ops.block_np import compress_block, decompress_block
     from .io import _device_available
 
-    chunk_size = 4 * 1024 * 1024
+    min_s = float(os.environ.get("LZ4T_BENCH_SECONDS", "2.0"))
+    # -B sets the chunk size like the reference's bench (bench.c:107);
+    # default -B7 = 4MB
+    chunk_size = spec.BLOCK_SIZES.get(prefs.block_size_id, 4 * 1024 * 1024)
     for path in paths:
         data = open(path, "rb").read()
         chunks = [data[i:i + chunk_size]
@@ -94,60 +122,95 @@ def _bench(paths, prefs: IoPrefs, level: int, iterations: int) -> int:
         crc0 = xxh32(data)
         use_device = _device_available()
 
-        if use_device:
-            from .tpu import encode_batch, decode_batch
+        if use_device and level >= 3:
+            # HC levels: the device HC kernel (ratio parity with
+            # lz4hc.c; see docs/ARCHITECTURE.md for the speed envelope)
+            import jax.numpy as _jnp
+            from .kernels.common import np_pack_rows
+            from .kernels.encode_kernel import bytes_to_val32_rows
+            from .kernels.hc_kernel import encode_blocks_hc
+            from .tpu import fetch_byte_rows, decode_batch
             bs = 65536
-            blocks = [data[i:i + bs] for i in range(0, len(data), bs)] or [b""]
-            best_c = best_d = float("inf")
-            comp_rows = comp_lens = None
-            if level >= 3:
-                # HC levels: the device HC kernel (ratio parity with
-                # lz4hc.c; a few MB/s — see docs/ARCHITECTURE.md)
-                import numpy as _np
-                import jax.numpy as _jnp
-                from .kernels.common import np_pack_rows
-                from .kernels.encode_kernel import bytes_to_val32_rows
-                from .kernels.hc_kernel import encode_blocks_hc
-                from .tpu import fetch_byte_rows
-                packed, lens_np = np_pack_rows(blocks, bs)
-                val = bytes_to_val32_rows(_jnp.asarray(packed), bs)
-                def encode_batch(_blocks, _bs):   # noqa: F811
-                    out, olen = encode_blocks_hc(val, _jnp.asarray(lens_np),
-                                                 level)
-                    return fetch_byte_rows(out), _np.asarray(olen)
-            for _ in range(max(1, iterations)):
-                t0 = time.perf_counter()
-                comp_rows, comp_lens = encode_batch(blocks, bs)
-                best_c = min(best_c, time.perf_counter() - t0)
+            blocks = [data[i:i + bs] for i in range(0, len(data), bs)] \
+                or [b""]
+            packed, lens_np = np_pack_rows(blocks, bs)
+            val = bytes_to_val32_rows(_jnp.asarray(packed), bs)
+
+            def enc_once():
+                out, olen = encode_blocks_hc(val, _jnp.asarray(lens_np),
+                                             level)
+                return out, _np.asarray(olen)
+
+            rate_c, (comp_rows_d, comp_lens) = _timed_rate(
+                enc_once, len(data), iterations, min_s)
+            comp_rows = fetch_byte_rows(comp_rows_d)
             comp = [comp_rows[i, :comp_lens[i]].astype("uint8").tobytes()
                     if comp_lens[i] < len(blocks[i]) else None
                     for i in range(len(blocks))]
             comp_size = sum(int(l) if c is not None else len(blocks[i])
                             for i, (c, l) in enumerate(zip(comp, comp_lens)))
             todo = [c for c in comp if c is not None]
-            out = None
-            for _ in range(max(1, iterations)):
-                t0 = time.perf_counter()
-                out = decode_batch(todo, bs)
-                best_d = min(best_d, time.perf_counter() - t0)
+            rate_d, out = _timed_rate(lambda: decode_batch(todo, bs),
+                                      len(data), iterations, min_s)
             it = iter(out)
             rebuilt = b"".join(next(it) if c is not None else blocks[i]
                                for i, c in enumerate(comp))
+        elif use_device:
+            # fast levels: the linked-chain codecs (the same kernels the
+            # frame pipeline uses); chunking matches the reference's
+            # whole-chunk LZ4_compress semantics at 64KB window ratio
+            import jax.numpy as _jnp
+            from .kernels.decode_kernel import decode_blocks_linked
+            from .kernels.encode_kernel import encode_blocks_linked
+            from .tpu import linked_val_rows, upload_byte_rows, \
+                fetch_byte_rows
+            bs = 65536
+            nb = -(-max(len(data), 1) // bs)
+            val, lens = linked_val_rows(data, 1, nb)
+            lens_d = _jnp.asarray(lens)
+            mm = max(4, prefs.min_match)
+
+            def enc_once():
+                comp, clen = encode_blocks_linked(
+                    val, lens_d, max(1, prefs.acceleration), min_match=mm)
+                return comp, _np.asarray(clen[0])
+
+            rate_c, (comp_d, clen_np) = _timed_rate(
+                enc_once, len(data), iterations, min_s)
+            comp_size = int(clen_np.sum())
+            outb = fetch_byte_rows(comp_d[0])
+            payloads = [outb[k, :clen_np[k]].tobytes() for k in range(nb)]
+            M = -(-max(map(len, payloads)) // 128) * 128
+            arr = _np.zeros((nb, M), _np.uint8)
+            clens2 = _np.zeros((nb,), _np.int32)
+            for i, c in enumerate(payloads):
+                arr[i, :len(c)] = _np.frombuffer(c, _np.uint8)
+                clens2[i] = len(c)
+            rows_d = upload_byte_rows(arr)
+            clens2_d = _jnp.asarray(clens2)
+
+            def dec_once():
+                out, dlen = decode_blocks_linked(rows_d, clens2_d, bs)
+                return out, _np.asarray(dlen)
+
+            rate_d, (out_d, dlen_np) = _timed_rate(
+                dec_once, len(data), iterations, min_s)
+            outb2 = fetch_byte_rows(out_d)
+            rebuilt = b"".join(
+                outb2[k, :dlen_np[k]].tobytes() for k in range(nb))
         else:
             def enc(c):
                 return (compress_hc_block(c, level) if level >= 3
                         else compress_block(c, max(1, prefs.acceleration)))
-            best_c = best_d = float("inf")
-            for _ in range(max(1, iterations)):
-                t0 = time.perf_counter()
-                comp = [enc(c) for c in chunks]
-                best_c = min(best_c, time.perf_counter() - t0)
+
+            rate_c, comp = _timed_rate(
+                lambda: [enc(c) for c in chunks], len(data), iterations,
+                min_s)
             comp_size = sum(len(c) for c in comp)
-            for _ in range(max(1, iterations)):
-                t0 = time.perf_counter()
-                outs = [decompress_block(c, len(ch))
-                        for c, ch in zip(comp, chunks)]
-                best_d = min(best_d, time.perf_counter() - t0)
+            rate_d, outs = _timed_rate(
+                lambda: [decompress_block(c, len(ch))
+                         for c, ch in zip(comp, chunks)],
+                len(data), iterations, min_s)
             rebuilt = b"".join(outs)
 
         if xxh32(rebuilt) != crc0:
@@ -155,8 +218,8 @@ def _bench(paths, prefs: IoPrefs, level: int, iterations: int) -> int:
         n = max(1, len(data))
         print(f"{os.path.basename(path):<20}:{len(data):>9} ->"
               f"{comp_size:>9} ({100.0 * comp_size / n:6.2f}%),"
-              f"{len(data) / 1e6 / max(best_c, 1e-9):8.1f} MB/s,"
-              f"{len(data) / 1e6 / max(best_d, 1e-9):8.1f} MB/s")
+              f"{rate_c / 1e6:8.1f} MB/s,"
+              f"{rate_d / 1e6:8.1f} MB/s")
     return 0
 
 

@@ -40,6 +40,7 @@ Memory plan per grid step (shapes static):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,36 +53,82 @@ from .common import on_cpu
 
 ERR_MALFORMED = -1
 
+# Timing-ablation hooks (scratch/dec_ab.py): the parse trajectory reads
+# only the compressed stream, so replacing/removing the byte-movement ops
+# yields wrong OUTPUT BYTES but an identical instruction trace — a valid
+# differential timing of each component.  Never set in production.
+_ABLATE = frozenset(
+    os.environ.get("LZ4TPU_DEC_ABLATE", "").split(",")) - {""}
+
+
+@jax.jit
+def preparse_rows(vals: jax.Array) -> jax.Array:
+    """VPU pre-decode of every byte position: pre[p] packs the fields a
+    sequence header starting at p would parse, so the scalar loop reads
+    ONE side-table word instead of re-deriving them op by op (the scalar
+    core is issue-bound; docs/ARCHITECTURE.md).  Covers the one-inline-
+    extension-byte envelope the fast/mid paths handle; the general path
+    re-reads the stream with full extension loops as before.
+
+    Packing (26 bits of an int32):
+      bits  0..9   mdelta  = bytes from the token to the match header
+                             (1 + has_lle + ll, <= 272)
+      bits 10..18  ll      = literal length incl. one ext byte (<= 270)
+      bits 19..23  ml_base = match-nibble + 4 (4..19)
+      bit  24      is_ext  = match nibble == 15 (one ext byte follows)
+      bit  25      ok_lle  = literal run needs at most one ext byte
+    """
+    ll_nib = (vals >> 4) & 0xF
+    ml_nib = vals & 0xF
+    lle_b = (vals >> 8) & 0xFF
+    has_lle = ll_nib == 15
+    ll = ll_nib + jnp.where(has_lle, lle_b, 0)
+    mdelta = 1 + has_lle.astype(jnp.int32) + ll
+    ok_lle = jnp.logical_not(jnp.logical_and(has_lle, lle_b == 255))
+    return (mdelta
+            | (ll << 10)
+            | ((ml_nib + 4) << 19)
+            | ((ml_nib == 15).astype(jnp.int32) << 24)
+            | (ok_lle.astype(jnp.int32) << 25))
+
 
 def _make_lit12(sval, merge, lane):
     """Shared 12-literal broadcast injection for the fast/mid sequence
     paths of both decode kernels: up to 12 literal bytes from three
     broadcast val32 words, shifted per lane — no window load, no roll.
 
+    The 12-byte literal vector is built OFF the carry chain (the selects
+    between the three broadcast words form a dependency tree the VPU can
+    overlap), then merged into the carry ONCE: the carry-dependent chain
+    is a single merge instead of three — the loop-carried vector chain,
+    not scalar op count, is this kernel's critical path (round-4
+    measurement, docs/SOL.md).
+
     Returns ``lit12(carry, lit_ip, cpos, ll, two_rows)`` producing the
     (row1, row2) carries; with ``two_rows=False`` the second row's
-    merges are skipped (row-local fast path).  The four call sites must
-    agree on this arithmetic, which is why it lives in one place.
+    merge is skipped (row-local fast path).  The call sites of both
+    decode kernels must agree on this arithmetic, which is why it lives
+    in one place.
     """
     ZERO = jnp.zeros((1, 128), jnp.int32)
+
+    if "nolit12" in _ABLATE:
+        return lambda carry, lit_ip, cpos, ll, two_rows: (carry, ZERO)
 
     def lit12(carry, lit_ip, cpos, ll, two_rows):
         w0 = sval(lit_ip)
         wa = sval(lit_ip + 4)
         wb = sval(lit_ip + 8)
 
-        def rows(c, base):
-            sh = jnp.clip(lane - base, 0, 3) * 8
-            c = merge(c, (w0 >> sh) & 0xFF, base, jnp.minimum(ll, 4))
-            sh2 = jnp.clip(lane - (base + 4), 0, 3) * 8
-            c = merge(c, (wa >> sh2) & 0xFF, base + 4,
-                      jnp.clip(ll - 4, 0, 4))
-            sh3 = jnp.clip(lane - (base + 8), 0, 3) * 8
-            return merge(c, (wb >> sh3) & 0xFF, base + 8,
-                         jnp.clip(ll - 8, 0, 4))
+        def litvec(base):
+            d = lane - base
+            w = jnp.where(d < 4, w0, jnp.where(d < 8, wa, wb))
+            sh = (d & 3) * 8
+            return (w >> sh) & 0xFF
 
-        c1 = rows(carry, cpos)
-        c2 = rows(ZERO, cpos - 128) if two_rows else ZERO
+        c1 = merge(carry, litvec(cpos), cpos, ll)
+        c2 = merge(ZERO, litvec(cpos - 128), cpos - 128, ll) \
+            if two_rows else ZERO
         return c1, c2
 
     return lit12
@@ -103,13 +150,13 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
     linked = mode == "linked"
     sg = mode == "sg"
 
-    def kernel(clen_ref, plen_ref, ocap_ref, vals2d_hbm, vals3d_hbm,
-               dict_hbm, out_hbm, olen_ref, vsmem, cvmem, ovmem,
-               *rest):
+    def kernel(clen_ref, plen_ref, ocap_ref, vals2d_hbm, pre2d_hbm,
+               vals3d_hbm, dict_hbm, out_hbm, olen_ref, vsmem, psmem,
+               cvmem, ovmem, *rest):
         if sg:
-            stage, sem_s, sem_v, sem_d, sem_o = rest
+            stage, sem_s, sem_p, sem_v, sem_d, sem_o = rest
         else:
-            sem_s, sem_v, sem_d, sem_o = rest
+            sem_s, sem_p, sem_v, sem_d, sem_o = rest
         b = pl.program_id(0)
         n = clen_ref[b]
         lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -133,6 +180,8 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
 
         cp_s = pltpu.make_async_copy(vals2d_hbm.at[b], vsmem, sem_s)
         cp_s.start()
+        cp_p = pltpu.make_async_copy(pre2d_hbm.at[b], psmem, sem_p)
+        cp_p.start()
         cp_v = pltpu.make_async_copy(vals3d_hbm.at[b],
                                      cvmem.at[pl.ds(1, MR), :], sem_v)
         cp_v.start()
@@ -170,9 +219,13 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
         cp_v.wait()
         cvmem[pl.ds(1, MR), :] = cvmem[pl.ds(1, MR), :] & 0xFF
         cp_s.wait()
+        cp_p.wait()
 
         def sval(ip):
             return vsmem[0, jnp.minimum(ip, M - 1)]
+
+        def pval(ip):
+            return psmem[0, jnp.minimum(ip, M - 1)]
 
         def sbyte(ip):
             return sval(ip) & 0xFF
@@ -201,6 +254,11 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             f = a >> 7
             sl = a & 127
             w = ref[pl.ds(f + 1, 2), :]
+            if "noroll" in _ABLATE:
+                return w[0:1]
+            if "staticroll" in _ABLATE:
+                rot = pltpu.roll(w, 37, axis=1)
+                return jnp.where(lane < 128 - 37, rot[0:1], rot[1:2])
             rot = pltpu.roll(w, -sl, axis=1)
             return jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
 
@@ -256,10 +314,15 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
                 lambda st: st[2] > 0, body, (carry, opos, mlen, offset))
             return carry, opos
 
-        def slow_seq(ip, opos, carry, ll_nib, ll_f, litip_f, ml_nib, cpos,
+        def slow_seq(ip, opos, carry, fl, ll_f, litip_f, mlb, cpos,
                      mlen_f, offset_f, ipadv_f):
             # (the _f args are the fast path's precomputed values; the
-            # general path re-derives them with full extension loops)
+            # general path re-derives them with full extension loops.
+            # nibble reconstruction: ll < 15 <=> no literal extension, so
+            # min(ll, 15) is exactly the token's literal nibble; mlb is
+            # the match nibble + 4.)
+            ll_nib = jnp.minimum(ll_f, 15)
+            ml_nib = mlb - 4
             ip = ip + 1
             ext, ip, ok = read_ext(ll_nib, ip)
             litlen = ll_nib + ext
@@ -294,8 +357,11 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             ip = jnp.where(do_match, ip_m, ip)
 
             status = jnp.where(ended, 1, jnp.where(do_match, 0, 2))
+            # flushed watermark: copy loops store completed rows; the
+            # partial row [opos & ~127, opos) lives only in the carry
+            fl = jnp.maximum(fl, opos & ~127)
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
-                    status.astype(jnp.int32), carry)
+                    status.astype(jnp.int32), carry, fl)
 
         # ------------------------------------------------------------------
         # fast path: no extensions, fits in the current output row, match
@@ -303,13 +369,13 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
         # validity checks (all addresses clamped, results discarded on -1).
         # ------------------------------------------------------------------
 
-        def fast_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
+        def fast_seq(ip, opos, carry, fl, ll, lit_ip, mlb, cpos,
                      mlen, offset, ip_adv):
             # mlen/offset/ip_adv precomputed by seq_body (issue-bound
             # scalar core: recomputing them here costs ~8 ops/sequence);
             # ll <= 12 here implies no literal extension, so lit_ip=ip+1
             ip1 = lit_ip
-            ipm = ip1 + ll          # match header position
+            ipm = ip1 + ll          # match header position (== mpos)
             opos1 = opos + ll
             cpos1 = cpos + ll
             opos2 = opos1 + mlen
@@ -320,9 +386,16 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             ended = ipm == n
             ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
 
-            # flush so the match window sees bytes < opos1 (incl. the
-            # literals just merged); row never crosses on this path
-            ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
+            # watermark-gated flush: ovmem's current row is stale only in
+            # [fl, opos1) (fast sequences are row-local, and every other
+            # path flushes its rows), so the store — and the store->load
+            # serialization it forces on the window read — is needed only
+            # when the match source reaches past fl (docs/SOL.md)
+            need = opos1 - offset + mlen > fl
+            if "noflush" not in _ABLATE:
+                @pl.when(need)
+                def _():
+                    ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
 
             a = jnp.clip(opos1 - offset + OBASE - cpos1,
                          -128, 128 * (PR + NR - 1))
@@ -341,8 +414,9 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
                              jnp.where(ok_l, opos1, opos))
             status = jnp.where(jnp.logical_and(ended, ok_l), 1,
                                jnp.where(do_match, 0, 2))
+            fl = jnp.where(need, opos1, fl)
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
-                    status.astype(jnp.int32), carry)
+                    status.astype(jnp.int32), carry, fl)
 
         # --------------------------------------------------------------
         # mid path: like fast_seq but the sequence's output may cross ONE
@@ -357,7 +431,7 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
         # flat at any shape, cost model in docs/ARCHITECTURE.md).
         # --------------------------------------------------------------
 
-        def mid_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
+        def mid_seq(ip, opos, carry, fl, ll, lit_ip, mlb, cpos,
                     mlen, offset, ip_adv):
             ipm = lit_ip + ll
             opos1 = opos + ll
@@ -376,7 +450,8 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
                 f_l = a_l >> 7
                 sl_l = a_l & 127
                 w_l = cvmem[pl.ds(f_l + 1, 3), :]
-                rot_l = pltpu.roll(w_l, -sl_l, axis=1)
+                rot_l = w_l if "noroll" in _ABLATE else \
+                    pltpu.roll(w_l, -sl_l, axis=1)
                 lv1 = jnp.where(lane < 128 - sl_l, rot_l[0:1], rot_l[1:2])
                 lv2 = jnp.where(lane < 128 - sl_l, rot_l[1:2], rot_l[2:3])
                 return (merge(carry, lv1, cpos, ll),
@@ -409,7 +484,8 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             f = a >> 7
             sl = a & 127
             w = ovmem[pl.ds(f + 1, 3), :]
-            rot = pltpu.roll(w, -sl, axis=1)
+            rot = w if "noroll" in _ABLATE else \
+                pltpu.roll(w, -sl, axis=1)
             v1 = jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
             v2 = jnp.where(lane < 128 - sl, rot[1:2], rot[2:3])
             mcarry = merge(carry, v1, c, mlen)
@@ -434,28 +510,30 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
                              jnp.where(ok_l, opos1, opos))
             status = jnp.where(jnp.logical_and(ended, ok_l), 1,
                                jnp.where(do_match, 0, 2))
+            # r_a/r_b stores put the literal content through opos1 in
+            # ovmem unconditionally on this path
+            fl = jnp.maximum(fl, opos1)
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
-                    status.astype(jnp.int32), carry)
+                    status.astype(jnp.int32), carry, fl)
 
         def seq_body(state):
-            ip, opos, status, carry = state
-            v = sval(ip)
-            token = v & 0xFF
-            ll_nib = token >> 4
-            ml_nib = token & 15
-            cpos = opos & 127
-            # one literal-extension byte parsed inline (ll up to 269);
-            # runs needing more ext bytes take the general path
-            lle_b = sval(ip + 1) & 0xFF
-            has_lle = ll_nib == 15
-            ll = ll_nib + jnp.where(has_lle, lle_b, 0)
-            lit_ip = ip + 1 + jnp.where(has_lle, 1, 0)
-            mpos = lit_ip + ll
-            is_ext = jnp.where(ml_nib == 15, 1, 0)
-            extb = sval(mpos + 2) & 0xFF
-            mlen = ml_nib + 4 + is_ext * extb
-            offset = sval(mpos) & 0xFFFF
+            ip, opos, status, carry, fl = state
+            # preparse side table (preparse_rows): one load hands the
+            # scalar core the token fields it used to re-derive op by op;
+            # a second load at mpos yields offset AND the match-extension
+            # byte from the same val32 word
+            p1 = pval(ip)
+            mpos = ip + (p1 & 1023)
+            v2 = sval(mpos)
+            offset = v2 & 0xFFFF
+            extb = (v2 >> 16) & 0xFF
+            ll = (p1 >> 10) & 0x1FF
+            is_ext = (p1 >> 24) & 1
+            mlb = (p1 >> 19) & 31
+            mlen = mlb + is_ext * extb
             ip_adv = mpos + 2 + is_ext
+            lit_ip = mpos - ll
+            cpos = opos & 127
             # fast/mid iff: at most ONE literal- and ONE match-extension
             # byte, and match offset >= mlen (no overlap doubling); fast
             # additionally requires literals <= 12 (broadcast-injectable)
@@ -464,32 +542,32 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             # literal run that fits it (the dominant rejected-match class
             # at min_match >= 12, scratch/mmstudy.py)
             ok_ext = jnp.logical_and(
-                jnp.logical_or(ml_nib < 15, extb != 255),
-                jnp.logical_or(jnp.logical_not(has_lle), lle_b != 255))
+                (p1 >> 25) != 0,
+                jnp.logical_or(is_ext == 0, extb != 255))
             base_ok = jnp.logical_and(ok_ext, offset >= mlen)
             tot = cpos + ll + mlen
             fast = jnp.logical_and(jnp.logical_and(base_ok, ll <= 12),
                                    tot <= 123)
             midc = jnp.logical_and(base_ok, tot <= 251)
 
-            def not_fast(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib,
+            def not_fast(ip, opos, carry, fl, ll, lit_ip, mlb,
                          cpos, mlen, offset, ip_adv):
                 return lax.cond(midc, mid_seq, slow_seq,
-                                ip, opos, carry, ll_nib, ll, lit_ip,
-                                ml_nib, cpos, mlen, offset, ip_adv)
+                                ip, opos, carry, fl, ll, lit_ip,
+                                mlb, cpos, mlen, offset, ip_adv)
 
             return lax.cond(fast, fast_seq, not_fast,
-                            ip, opos, carry, ll_nib, ll, lit_ip, ml_nib,
+                            ip, opos, carry, fl, ll, lit_ip, mlb,
                             cpos, mlen, offset, ip_adv)
 
         def seq_cond(state):
-            ip, opos, status, _ = state
+            ip, opos, status, _, _fl = state
             return jnp.logical_and(status == 0, ip < n)
 
-        ip, opos, status, carry = lax.while_loop(
+        ip, opos, status, carry, _fl = lax.while_loop(
             seq_cond, seq_body,
             (jnp.int32(0), jnp.int32(0), jnp.int32(0),
-             jnp.zeros((1, 128), jnp.int32)))
+             jnp.zeros((1, 128), jnp.int32), jnp.int32(0)))
         # final flush of the partial row (pad row absorbs opos == N)
         ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
         olen_ref[b] = jnp.where(status == 1, opos, ERR_MALFORMED)
@@ -536,10 +614,12 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
             | (jnp.roll(c, -1, axis=1) << 8)
             | (jnp.roll(c, -2, axis=1) << 16)
             | (jnp.roll(c, -3, axis=1) << 24))
+    pre = preparse_rows(vals)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -550,8 +630,10 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
         ),
         scratch_shapes=[
             pltpu.SMEM((1, M), jnp.int32),
+            pltpu.SMEM((1, M), jnp.int32),
             pltpu.VMEM((MR + 4, 128), jnp.int32),
             pltpu.VMEM((3 + PR + NR, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -567,8 +649,8 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(clen, plen, ocap, vals.reshape(B, 1, M), vals.reshape(B, MR, 128),
-      dict_rows)
+    )(clen, plen, ocap, vals.reshape(B, 1, M), pre.reshape(B, 1, M),
+      vals.reshape(B, MR, 128), dict_rows)
     return out.reshape(B, N), olen
 
 
@@ -583,11 +665,13 @@ def _decode_blocks_sg(comp, clen, cum, ocap, *, M, N, TOTR, interpret):
             | (jnp.roll(c, -1, axis=1) << 8)
             | (jnp.roll(c, -2, axis=1) << 16)
             | (jnp.roll(c, -3, axis=1) << 24))
+    pre = preparse_rows(vals)
     dict_rows = jnp.zeros((B, 1, 128), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -598,9 +682,11 @@ def _decode_blocks_sg(comp, clen, cum, ocap, *, M, N, TOTR, interpret):
         ),
         scratch_shapes=[
             pltpu.SMEM((1, M), jnp.int32),
+            pltpu.SMEM((1, M), jnp.int32),
             pltpu.VMEM((MR + 4, 128), jnp.int32),
             pltpu.VMEM((3 + PR + NR, 128), jnp.int32),
             pltpu.VMEM((PR + NR + 2, 128), jnp.int32),   # stage
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -616,8 +702,8 @@ def _decode_blocks_sg(comp, clen, cum, ocap, *, M, N, TOTR, interpret):
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(clen, cum, ocap, vals.reshape(B, 1, M), vals.reshape(B, MR, 128),
-      dict_rows)
+    )(clen, cum, ocap, vals.reshape(B, 1, M), pre.reshape(B, 1, M),
+      vals.reshape(B, MR, 128), dict_rows)
     return out, olen
 
 

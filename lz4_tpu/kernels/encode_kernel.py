@@ -172,10 +172,12 @@ def _jump_rows(d: jax.Array) -> jax.Array:
 
     The scan's skip path advances by max(accel step, jump): lanes between
     a barren position and its next candidate can produce neither a match
-    nor a probe, so eliding their visits is EXACT — same output bytes or
-    better probe density (fewer visits grow the accel step more slowly).
-    The reference's skip trigger (lz4.c:586-594) gambles geometrically on
-    barren runs; the sorted pass has already measured them."""
+    nor a probe, so jumping them never skips a candidate; probe density
+    is equal or better (fewer visits grow the accel step more slowly, so
+    the parse can differ from the unjumped scan — ratio-neutral-or-better,
+    not byte-identical).  The reference's skip trigger (lz4.c:586-594)
+    gambles geometrically on barren runs; the sorted pass has already
+    measured them."""
     R, N = d.shape
     pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (R, N))
     cand = jnp.where(d > 0, pos, N)
@@ -184,8 +186,7 @@ def _jump_rows(d: jax.Array) -> jax.Array:
 
 
 def _make_encode_kernel(NS: int, M: int, acceleration: int,
-                        min_match: int = 4, reject_step: int = 1,
-                        prefiltered: bool = False):
+                        min_match: int = 4, reject_step: int = 1):
     def kernel(slen_ref, val_hbm, d_hbm, out_hbm, olen_ref,
                vsmem, dsmem, osmem, sem_in, sem_d, sem_out):
         b = pl.program_id(0)
@@ -266,28 +267,19 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int,
                                                       reject_step),
                                      op, anchor, scnt + 1))
 
-        def probe_filter(ipx, q):
-            """min-match pre-filter (necessary-only; see the docstring of
-            cand_delta_rows).  With ``prefiltered`` the VPU already zeroed
-            failing candidates during the sorted pass, so the scan pays
-            nothing here."""
-            if prefiltered or min_match < 11:
-                return jnp.bool_(True)
-            w1 = val(q + 4) == val(ipx + 4)
-            b1 = val(jnp.maximum(q - 4, 0)) == \
-                val(jnp.maximum(ipx - 4, 0))
-            return jnp.logical_or(w1, b1)
-
         def main_body(state):
             ip, op, anchor, scnt = state
             w = delta(ip)
             d = w & 0xFFFF
             q = ip - d
             # d > 0 <=> a previous equal val32 within 65535 bytes exists;
-            # no validation load — the candidate is exact by construction.
+            # no validation load — the candidate is exact by construction,
+            # and in min_match>=11 mode the VPU sorted pass already zeroed
+            # candidates failing the necessary-condition pre-filter
+            # (cand_delta_rows filter_rows), so the scan pays nothing.
             # High 16 bits: distance to the next candidate (_jump_rows) —
             # a barren position jumps the whole candidate-free run.
-            good = jnp.logical_and(d > 0, probe_filter(ip, q))
+            good = d > 0
 
             def skip():
                 step = jnp.maximum(scnt >> SKIP_TRIGGER,
@@ -329,7 +321,11 @@ def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret,
     d_rows = cand_delta_rows(
         val_rows,
         jnp.ones((B,), bool) if prefiltered else None)
-    # barren-jump distances ride the spare high 16 bits (deltas <= 65535)
+    # barren-jump distances ride the spare high 16 bits (deltas <= 65535).
+    # jump = 65535 intentionally wraps into the int32 sign bit; the kernel
+    # recovers it as (w >> 16) & 0xFFFF (arithmetic shift then mask), so
+    # the two's-complement wrap is part of the contract — keep the
+    # extraction in sync if the packing ever changes.
     d_rows = d_rows | (_jump_rows(d_rows) << 16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -350,8 +346,7 @@ def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret,
         ],
     )
     out, olen = pl.pallas_call(
-        _make_encode_kernel(NS, M, acceleration, min_match, reject_step,
-                            prefiltered),
+        _make_encode_kernel(NS, M, acceleration, min_match, reject_step),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
@@ -425,8 +420,7 @@ def cand_frac8_rows(val: jax.Array) -> jax.Array:
 
 def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
                                min_match: int = 4, reject_step: int = 1,
-                               dynamic_mm: bool = False,
-                               prefiltered: bool = False):
+                               dynamic_mm: bool = False):
     """Chained-block encoder: grid (streams, blocks); each grid step's
     SMEM val window covers [prev block | current block] and the sorted-
     candidate pass runs over the whole window, so matches reach into the
@@ -547,30 +541,17 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
             # barren-jump (see _jump_rows): jsmem[k] holds the block-
             # relative position of the next candidate at/after lane 4k
             # (4-granular: a full-resolution row would not fit SMEM
-            # beside the 128KB val window).  Aligned landings snap to
-            # the run's end — EXACT, since the elided lanes hold no
-            # candidate; unaligned landings step normally and reach an
-            # aligned lane within <= 3 visits.
+            # beside the 128KB val window).  nextc is monotone, so
+            # jsmem[j>>2] = nextc[4*(j>>2)] is a valid lower bound for
+            # ANY landing j: whenever it lands at/after j there is no
+            # candidate in [j, snap), so max(ip2, snap) never skips one
+            # (unaligned landings included — no parity trap).
             step = scnt >> SKIP_TRIGGER
             ip2 = ip + step
             j = ip2 - start
             snap = start + jsmem[0, jnp.minimum(j >> 2, NS // 4 - 1)]
-            take = jnp.logical_and((j & 3) == 0, j < NS)
-            ip2 = jnp.where(take, jnp.maximum(ip2, snap), ip2)
+            ip2 = jnp.where(j < NS, jnp.maximum(ip2, snap), ip2)
             return ip2, op, anchor, scnt + 1
-
-        def probe_filter(ipx, q):
-            """See _make_encode_kernel.  With ``prefiltered`` the sorted
-            pass already zeroed failing candidates (per-row gated by
-            mm >= 11 in dynamic mode), so the scan pays nothing here."""
-            if prefiltered or (not dynamic_mm and min_match < 11):
-                return jnp.bool_(True)
-            w1 = val(q + 4) == val(ipx + 4)
-            b1 = val(jnp.maximum(q - 4, low)) == val(ipx - 4)
-            hit = jnp.logical_or(w1, b1)
-            if dynamic_mm:
-                hit = jnp.logical_or(hit, mm_b < 11)
-            return hit
 
         def main_body(state):
             ip, op, anchor, scnt = state
@@ -578,10 +559,11 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
             q = ip - d
             # q >= low guards block 0's zero padding: a partial prefix
             # leaves synthetic zero lanes below ``low`` whose val32
-            # equals real zero runs — matches must not reach them
-            good = jnp.logical_and(
-                jnp.logical_and(d > 0, q >= low),
-                probe_filter(ip, q))
+            # equals real zero runs — matches must not reach them.
+            # (In min_match>=11 / dynamic mode the VPU sorted pass has
+            # already zeroed candidates failing the necessary-condition
+            # pre-filter — cand_delta_rows filter_rows.)
+            good = jnp.logical_and(d > 0, q >= low)
             return lax.cond(good,
                             lambda: with_match(ip, op, anchor, scnt, q),
                             lambda: skip(ip, op, anchor, scnt))
@@ -625,7 +607,6 @@ def _encode_blocks_linked(val_rows, slen, prefix, mm_rows=None, *, NS, M,
     # The min_match>=11 pre-filter rides the same sorted pass (per-row
     # gated in dynamic mode so static mm=K and mm_rows=[K..] stay
     # bit-identical).
-    prefiltered = dynamic_mm or min_match >= 11
     if dynamic_mm:
         filter_rows = mm_rows.reshape(S * NB) >= 11
     elif min_match >= 11:
@@ -668,7 +649,7 @@ def _encode_blocks_linked(val_rows, slen, prefix, mm_rows=None, *, NS, M,
         scalars = scalars + (mm_rows.reshape(S * NB).astype(jnp.int32),)
     out, olen = pl.pallas_call(
         _make_encode_linked_kernel(NS, M, acceleration, min_match,
-                                   reject_step, dynamic_mm, prefiltered),
+                                   reject_step, dynamic_mm),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((S, NB, 1, M), jnp.int32),

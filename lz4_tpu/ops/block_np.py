@@ -354,6 +354,105 @@ def decompress_block(comp, max_output: int, dict_: bytes = b"",
             return bytes(out[:max_output])
 
 
+def decompress_block_dest_size(comp, dest_capacity: int, dict_: bytes = b"",
+                               expect_more_input: bool = False):
+    """Resumable destSize decode: fill at most ``dest_capacity`` output
+    bytes, stopping at a TOKEN BOUNDARY, and report the source bytes
+    consumed up to that boundary.
+
+    This is the fork's signature decoder contract (reference
+    ``LZ4_decompress_destSize_generic``, lz4.c:1098-1320: ``token_ip`` /
+    ``token_op`` are saved at 1161-1163 and the ``_early_end`` rewind at
+    1316-1319 restores them), the property that makes scatter-gather
+    possible: a caller can stop on either a full destination or exhausted
+    input and RESUME — pass ``comp[consumed:]`` (plus any further input)
+    and a fresh destination, with ``dict_`` = the bytes already produced
+    — and the concatenated output equals a whole-buffer decode.
+
+    Returns ``(consumed_src, produced_bytes)``.  The block is DONE when
+    ``consumed_src == len(comp)`` (the final literal run ended exactly at
+    the input end).  Early stops are clean: nothing of the unfinished
+    sequence is consumed or emitted.  Raises :class:`Lz4BlockError` only
+    for non-resumable corruption (offset 0 / beyond window).
+
+    ``expect_more_input``: a literal run that ends exactly at the input
+    end is indistinguishable from a block terminator (the reference has
+    the same ambiguity — lz4sg.c resolves it with exact block extents,
+    lz4sg.c:575-579).  When the caller KNOWS this is not the block's
+    tail (more input follows), pass True and such a run is rewound like
+    any other truncated sequence instead of being consumed as an end.
+    """
+    comp = bytes(comp)
+    dict_ = bytes(dict_)
+    n = len(comp)
+    nd = len(dict_)
+    out = bytearray()
+    i = 0
+    while True:
+        tok_i = i                      # token boundary (lz4.c:1161-1163)
+        if i >= n:
+            return tok_i, bytes(out)   # input exhausted at a boundary
+        token = comp[i]
+        i += 1
+        litlen = token >> 4
+        if litlen == 15:
+            while True:
+                if i >= n:
+                    return tok_i, bytes(out)
+                b = comp[i]
+                i += 1
+                litlen += b
+                if b != 255:
+                    break
+        if i + litlen > n:
+            return tok_i, bytes(out)   # literals truncated: rewind
+        if i + litlen == n and expect_more_input:
+            return tok_i, bytes(out)   # ambiguous tail: caller says more
+        if len(out) + litlen > dest_capacity:
+            return tok_i, bytes(out)   # destination full: rewind
+        out += comp[i:i + litlen]
+        i += litlen
+        if i == n:
+            return n, bytes(out)       # clean final literal run
+        if i + 2 > n:
+            del out[len(out) - litlen:]
+            return tok_i, bytes(out)   # offset truncated: rewind
+        offset = comp[i] | (comp[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise Lz4BlockError("invalid offset 0")
+        mlen = token & 15
+        if mlen == 15:
+            while True:
+                if i >= n:
+                    del out[len(out) - litlen:]
+                    return tok_i, bytes(out)
+                b = comp[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += MINMATCH
+        if offset > len(out) + nd:
+            raise Lz4BlockError("offset beyond window")
+        if len(out) + mlen > dest_capacity:
+            del out[len(out) - litlen:]
+            return tok_i, bytes(out)   # destination full: rewind
+        src_pos = len(out) - offset
+        if src_pos < 0:
+            from_dict = min(-src_pos, mlen)
+            out += dict_[nd + src_pos:nd + src_pos + from_dict]
+            mlen -= from_dict
+        if mlen > 0:
+            if offset >= mlen:
+                start = len(out) - offset
+                out += out[start:start + mlen]
+            else:
+                pattern = out[len(out) - offset:]
+                reps = mlen // offset + 1
+                out += (bytes(pattern) * reps)[:mlen]
+
+
 def get_decompressed_size(comp) -> int:
     """Walk a block's headers and return its decoded size (validates shape)."""
     comp = bytes(comp)

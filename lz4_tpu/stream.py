@@ -101,3 +101,19 @@ class BlockDecompressStream:
         out = block_np.decompress_block(comp, out_size, dict_=self._window)
         self._window = (self._window + out)[-spec.WINDOW_SIZE:]
         return out
+
+    def decompress_dest_size_continue(self, comp: bytes, dest_capacity: int):
+        """Resumable destSize decode within a chained stream: fill at most
+        ``dest_capacity`` bytes, stop at a token boundary, and report the
+        input consumed.  The produced bytes join the stream window, so
+        calling again with ``comp[consumed:]`` (plus any further input)
+        continues the SAME block across destination buffers — the
+        fork's scatter-gather enabler (reference lz4.c:1316-1319 rewind +
+        LZ4_decompress_safe_continue dict threading, lz4.c:1433-1460).
+
+        Returns ``(consumed_src, produced_bytes)``.
+        """
+        consumed, out = block_np.decompress_block_dest_size(
+            comp, dest_capacity, dict_=self._window)
+        self._window = (self._window + out)[-spec.WINDOW_SIZE:]
+        return consumed, out

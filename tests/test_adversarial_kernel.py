@@ -44,8 +44,8 @@ def _cases(seed):
     return cases
 
 
-# soak knob: LZ4TPU_FUZZ_SEEDS=100 widens the seed sweep (CI default 2)
-SEEDS = range(1, 1 + int(os.environ.get("LZ4TPU_FUZZ_SEEDS", "2")))
+# soak knob: LZ4TPU_FUZZ_SEEDS=100 widens the seed sweep (CI default 4)
+SEEDS = range(1, 1 + int(os.environ.get("LZ4TPU_FUZZ_SEEDS", "4")))
 
 
 @pytest.mark.parametrize("seed", SEEDS)

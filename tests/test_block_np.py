@@ -158,3 +158,72 @@ def test_empty_input_roundtrip():
     comp = compress_block(b"")
     assert comp == b"\x00"
     assert decompress_block(comp, 0) == b""
+
+
+# ---------------------------------------------------------------------------
+# resumable destSize decode (fork contract: lz4.c:1161-1163, 1316-1319)
+# ---------------------------------------------------------------------------
+
+def test_dest_size_decode_whole_in_one_call():
+    from lz4_tpu.ops.block_np import decompress_block_dest_size
+    for data in BUFFERS:
+        if not data:
+            continue
+        comp = compress_block(data)
+        consumed, out = decompress_block_dest_size(comp, len(data) + 64)
+        assert consumed == len(comp)
+        assert out == data
+
+
+def test_dest_size_decode_resume_across_outputs():
+    """Stop-and-resume across split OUTPUT buffers reproduces the
+    whole-buffer decode (the SG property: one block filling several
+    destination buffers)."""
+    from lz4_tpu.stream import BlockDecompressStream
+    for data in BUFFERS:
+        if len(data) < 64:
+            continue
+        comp = compress_block(data)
+        for cap0 in (97, 1024, 4099):
+            dec = BlockDecompressStream()
+            pos, pieces = 0, []
+            cap = cap0
+            while pos < len(comp):
+                consumed, out = dec.decompress_dest_size_continue(
+                    comp[pos:], cap)
+                if consumed == 0 and not out:
+                    cap *= 2          # one sequence larger than cap
+                    continue
+                pos += consumed
+                pieces.append(out)
+                cap = cap0
+            assert b"".join(pieces) == data
+
+
+def test_dest_size_decode_resume_across_inputs():
+    """Early input end rewinds to a token boundary; feeding the
+    unconsumed tail plus more input continues exactly."""
+    from lz4_tpu.ops.block_np import decompress_block_dest_size
+    data = gen_buffer(65536, 0.7, 99)
+    comp = compress_block(data)
+    for split in (3, 17, len(comp) // 3, len(comp) - 2):
+        fed = comp[:split]
+        c1, out1 = decompress_block_dest_size(fed, len(data),
+                                              expect_more_input=True)
+        assert c1 <= split
+        c2, out2 = decompress_block_dest_size(
+            comp[c1:], len(data) - len(out1), dict_=out1)
+        assert c1 + c2 == len(comp)
+        assert out1 + out2 == data
+
+
+def test_dest_size_decode_rejects_corruption():
+    from lz4_tpu.ops.block_np import decompress_block_dest_size
+    data = gen_buffer(4096, 0.6, 5)
+    comp = bytearray(compress_block(data))
+    # force an offset of zero at the first match header
+    i = comp[0] >> 4
+    comp[1 + i] = 0
+    comp[2 + i] = 0
+    with pytest.raises(Lz4BlockError):
+        decompress_block_dest_size(bytes(comp), 1 << 20)

@@ -20,6 +20,8 @@ REPO = Path(__file__).resolve().parent.parent
 def run_cli(args, input_=None, cwd=None, name="lz4t"):
     env = dict(os.environ)
     env["LZ4TPU_FORCE_CPU"] = "1"
+    # keep -b tests fast: shrink the reference protocol's >=2s windows
+    env.setdefault("LZ4T_BENCH_SECONDS", "0.05")
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     cmd = [sys.executable, "-m", "lz4_tpu.cli"]
     p = subprocess.run(cmd + list(args), input=input_, capture_output=True,

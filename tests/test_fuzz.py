@@ -26,10 +26,10 @@ from lz4_tpu.utils.datagen import gen_buffer
 from . import oracle
 
 POOL = gen_buffer(1 << 20, 0.65, 0xF00D)  # shared noise pool
-# CI default keeps latency low; soak runs scale it up, reference-style
-# (programs/Makefile:65 runs the real battery time-boxed):
+# CI default keeps latency moderate; soak runs scale it up,
+# reference-style (programs/Makefile:65 runs the real battery time-boxed):
 #   LZ4TPU_FUZZ_CYCLES=10000 python -m pytest tests/test_fuzz.py -q
-CYCLES = int(os.environ.get("LZ4TPU_FUZZ_CYCLES", "40"))
+CYCLES = int(os.environ.get("LZ4TPU_FUZZ_CYCLES", "200"))
 
 
 def cycle_params(seed):
@@ -175,3 +175,39 @@ def test_fuzz_linked_device_chain(seed):
         except Lz4FrameError:
             out2 = None  # rejected, as expected
         assert out2 is None or out2 == data, "corruption accepted"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_device_encode_reference_decodes(seed):
+    """Device-path fuzz lane (VERDICT r3 #8): random blocks through the
+    ENCODE KERNEL, each decoded by the reference C library per cycle —
+    the kernel analog of fuzzer.c's cross-decoding battery.  Batched so
+    one kernel launch covers the cycle's whole case set."""
+    if not oracle.available():
+        pytest.skip("reference oracle unavailable")
+    import numpy as np
+    import jax.numpy as jnp
+    from lz4_tpu.kernels.common import np_pack_rows
+    from lz4_tpu.kernels.encode_kernel import (bytes_to_val32_rows,
+                                               encode_blocks)
+    from lz4_tpu.tpu import fetch_byte_rows
+
+    rng = random.Random(31_000 + seed)
+    blocks = []
+    for _ in range(16):
+        size = rng.randint(1, 1 << rng.randint(4, 13))
+        start = rng.randint(0, len(POOL) - size)
+        b = POOL[start:start + size]
+        if rng.random() < 0.25:   # splice incompressible noise
+            b = bytes(rng.getrandbits(8) for _ in range(size))
+        blocks.append(b)
+    BS = -(-max(map(len, blocks)) // 128) * 128
+    mm = rng.choice([4, 8, 12])
+    packed, lens = np_pack_rows(blocks, BS)
+    val = bytes_to_val32_rows(jnp.asarray(packed), BS)
+    out, olen = encode_blocks(val, jnp.asarray(lens), 1, min_match=mm)
+    outb, olen = fetch_byte_rows(out), np.asarray(olen)
+    for i, b in enumerate(blocks):
+        comp = outb[i, :olen[i]].tobytes()
+        assert oracle.ref_decompress(comp, len(b)) == b, \
+            f"seed={seed} case={i} mm={mm}"
