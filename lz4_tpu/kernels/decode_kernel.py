@@ -60,6 +60,15 @@ ERR_MALFORMED = -1
 _ABLATE = frozenset(
     os.environ.get("LZ4TPU_DEC_ABLATE", "").split(",")) - {""}
 
+# how many EXTRA sequences the fast path tries to retire per loop
+# iteration (see fast_seq: the loop body has an ~80ns/iteration floor and
+# additional independent window rolls are nearly free, so packing more
+# fast-class sequences into one iteration is the main per-chip lever).
+# Measured on the real-text corpus at mm=8: 1 extra lane = +13%, a 2nd
+# extra lane LOSES 6% (it rarely passes the same-row budget but its body
+# cost is always paid) — so the default is 1.
+PAIR_LANES = int(os.environ.get("LZ4TPU_DEC_PAIR_LANES", "1"))
+
 
 @jax.jit
 def preparse_rows(vals: jax.Array) -> jax.Array:
@@ -367,54 +376,116 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
         # fast path: no extensions, fits in the current output row, match
         # offset >= match length.  Straight-line; merges run before the
         # validity checks (all addresses clamped, results discarded on -1).
+        #
+        # PAIRED (round 4): the loop body has an ~80ns/iteration floor on
+        # this core, and a SECOND independent window roll in the same
+        # iteration is essentially free (rolls pipeline; measured,
+        # scratch/probe_roll2.py / docs/SOL.md) — so the fast path also
+        # parses the NEXT sequence and, when it also qualifies (fast
+        # class, same output row, and its match source stays below this
+        # sequence's match output), retires BOTH in one iteration.  The
+        # second sequence's effects are branchless: its merges run with
+        # take=0 when the pair is disarmed.
         # ------------------------------------------------------------------
 
         def fast_seq(ip, opos, carry, fl, ll, lit_ip, mlb, cpos,
                      mlen, offset, ip_adv):
-            # mlen/offset/ip_adv precomputed by seq_body (issue-bound
-            # scalar core: recomputing them here costs ~8 ops/sequence);
-            # ll <= 12 here implies no literal extension, so lit_ip=ip+1
+            # mlen/offset/ip_adv precomputed by seq_body; ll <= 12 here
+            # implies no literal extension, so lit_ip = ip + 1
             ip1 = lit_ip
             ipm = ip1 + ll          # match header position (== mpos)
             opos1 = opos + ll
             cpos1 = cpos + ll
             opos2 = opos1 + mlen
 
-            # literal injection, branchless (shared arithmetic: _make_lit12)
-            carry, _ = lit12(carry, ip1, cpos, ll, two_rows=False)
-
             ended = ipm == n
             ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
-
-            # watermark-gated flush: ovmem's current row is stale only in
-            # [fl, opos1) (fast sequences are row-local, and every other
-            # path flushes its rows), so the store — and the store->load
-            # serialization it forces on the window read — is needed only
-            # when the match source reaches past fl (docs/SOL.md)
-            need = opos1 - offset + mlen > fl
-            if "noflush" not in _ABLATE:
-                @pl.when(need)
-                def _():
-                    ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
-
-            a = jnp.clip(opos1 - offset + OBASE - cpos1,
-                         -128, 128 * (PR + NR - 1))
-            v = window(ovmem, a)
-            mcarry = merge(carry, v, cpos1, mlen)
-
             ok_m = jnp.logical_and(
                 jnp.logical_and(ok_l, ip_adv <= n),
                 jnp.logical_and(offset > 0, offset <= opos1 + plen))
             ok_m = jnp.logical_and(ok_m, opos2 <= olim)
-
             do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
-            carry = jnp.where(do_match, mcarry, carry)
+
+            # ---- extra lanes: parse the next K sequences, chained ----
+            # Lane x joins the iteration iff every earlier lane joined,
+            # it is fast-class, its whole output stays in this row, and
+            # its match source stays below lane A's match output (it may
+            # read A's literals — the single flush below includes them).
+            lanes = []
+            prev_ok = do_match
+            ip_cur, opos_cur, cpos_cur = ip_adv, opos2, cpos1 + mlen
+            for _ in range(PAIR_LANES):
+                p1x = pval(ip_cur)
+                mposx = ip_cur + (p1x & 1023)
+                v2x = sval(mposx)
+                offx = v2x & 0xFFFF
+                extbx = (v2x >> 16) & 0xFF
+                llx = (p1x >> 10) & 0x1FF
+                is_extx = (p1x >> 24) & 1
+                mlenx = ((p1x >> 19) & 31) + is_extx * extbx
+                ip_advx = mposx + 2 + is_extx
+                lit_ipx = jnp.maximum(mposx - llx, 0)
+                oposx1 = opos_cur + llx
+                cposx = cpos_cur
+                cposx1 = cposx + llx
+                oposx2 = oposx1 + mlenx
+                ok_ex = jnp.logical_and(
+                    (p1x >> 25) != 0,
+                    jnp.logical_or(is_extx == 0, extbx != 255))
+                px = jnp.logical_and(
+                    jnp.logical_and(prev_ok,
+                                    jnp.logical_and(ok_ex, offx >= mlenx)),
+                    jnp.logical_and(llx <= 12, cposx1 + mlenx <= 123))
+                px = jnp.logical_and(px, mposx != n)
+                px = jnp.logical_and(px, ip_advx <= n)
+                px = jnp.logical_and(px, oposx2 <= olim)
+                px = jnp.logical_and(
+                    px, jnp.logical_and(offx > 0, offx <= oposx1 + plen))
+                px = jnp.logical_and(px, oposx1 - offx + mlenx <= opos1)
+                lanes.append((px, lit_ipx, llx, cposx, oposx1, offx,
+                              mlenx, cposx1, ip_advx, oposx2))
+                prev_ok = px
+                ip_cur, opos_cur, cpos_cur = ip_advx, oposx2, cposx1 + mlenx
+
+            # literal injection, branchless (shared arithmetic: _make_lit12)
+            carry, _ = lit12(carry, ip1, cpos, ll, two_rows=False)
+
+            # watermark-gated flush: ovmem's current row is stale only in
+            # [fl, opos1) (fast sequences are row-local and every other
+            # path flushes its rows), so the store — and the store->load
+            # serialization it forces on the window reads — is needed
+            # only when a match source reaches past fl (docs/SOL.md)
+            need = opos1 - offset + mlen > fl
+            for (px, _, _, _, oposx1, offx, mlenx, _, _, _) in lanes:
+                need = jnp.logical_or(need, jnp.logical_and(
+                    px, oposx1 - offx + mlenx > fl))
+            if "noflush" not in _ABLATE:
+                @pl.when(need)
+                def _():
+                    ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
+            fl = jnp.where(need, opos1, fl)
+
+            a = jnp.clip(opos1 - offset + OBASE - cpos1,
+                         -128, 128 * (PR + NR - 1))
+            v = window(ovmem, a)
+            carry = merge(carry, v, cpos1, jnp.where(do_match, mlen, 0))
+            for (px, lit_ipx, llx, cposx, oposx1, offx, mlenx, cposx1,
+                 _, _) in lanes:
+                ax = jnp.clip(oposx1 - offx + OBASE - cposx1,
+                              -128, 128 * (PR + NR - 1))
+                vx = window(ovmem, ax)
+                carry, _ = lit12(carry, lit_ipx, cposx,
+                                 jnp.where(px, llx, 0), two_rows=False)
+                carry = merge(carry, vx, cposx1, jnp.where(px, mlenx, 0))
+
             ip = jnp.where(do_match, ip_adv, ipm)
             opos = jnp.where(do_match, opos2,
                              jnp.where(ok_l, opos1, opos))
+            for (px, _, _, _, _, _, _, _, ip_advx, oposx2) in lanes:
+                ip = jnp.where(px, ip_advx, ip)
+                opos = jnp.where(px, oposx2, opos)
             status = jnp.where(jnp.logical_and(ended, ok_l), 1,
                                jnp.where(do_match, 0, 2))
-            fl = jnp.where(need, opos1, fl)
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
                     status.astype(jnp.int32), carry, fl)
 
@@ -561,8 +632,7 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
                             cpos, mlen, offset, ip_adv)
 
         def seq_cond(state):
-            ip, opos, status, _, _fl = state
-            return jnp.logical_and(status == 0, ip < n)
+            return jnp.logical_and(state[2] == 0, state[0] < n)
 
         ip, opos, status, carry, _fl = lax.while_loop(
             seq_cond, seq_body,
@@ -1081,32 +1151,75 @@ def _make_stream_decode_kernel(linked: bool):
             # envelope: up to 12 literals injected from three broadcast
             # val32 words, one TERMINAL match-length extension byte, no
             # row completion, no overlap doubling; mlen/offset/ip_adv
-            # precomputed by seq_body (issue-bound scalar core)
+            # precomputed by seq_body (issue-bound scalar core).
+            # PAIRED like the batch kernel's fast path (docs/SOL.md): the
+            # next sequence is parsed too and retired in the same
+            # iteration when it is fast-class, row-local, and its match
+            # source stays below this sequence's match output.  All its
+            # bytes are resident: the refill guard keeps ip+272 loaded
+            # and the pair envelope ends well before ip+80.
             ip1 = lit_ip
             ipm = ip1 + ll
             opos1 = opos + ll
             cpos1 = cpos + ll
             opos2 = opos1 + mlen
 
-            carry, _ = lit12(carry, ip1, cpos, ll, two_rows=False)
-
             ended = ipm == iend
             ok_l = jnp.logical_and(ipm <= iend, opos1 <= olim)
-
-            ostore(orow(opos), carry)
-            v = owindow(opos1 - offset - cpos1)
-            mcarry = merge(carry, v, cpos1, mlen)
-
             ok_m = jnp.logical_and(
                 jnp.logical_and(ok_l, ip_adv <= iend),
                 jnp.logical_and(offset > 0, offset <= opos1 - floor))
             ok_m = jnp.logical_and(ok_m, opos2 <= olim)
-
             do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
-            carry = jnp.where(do_match, mcarry, carry)
-            ip = jnp.where(do_match, ip_adv, ipm)
-            opos = jnp.where(do_match, opos2,
-                             jnp.where(ok_l, opos1, opos))
+
+            # ---- sequence B at ip_adv (pair lane) ----
+            vb0 = sval(ip_adv)
+            llnb = (vb0 >> 4) & 15
+            mlnb = vb0 & 15
+            lleb = (vb0 >> 8) & 0xFF
+            hasb = llnb == 15
+            llb = llnb + jnp.where(hasb, lleb, 0)
+            lit_ipb = ip_adv + 1 + jnp.where(hasb, 1, 0)
+            mposb = lit_ipb + llb
+            v2b = sval(mposb)
+            offb = v2b & 0xFFFF
+            extbb = (v2b >> 16) & 0xFF
+            is_extb = jnp.where(mlnb == 15, 1, 0)
+            mlenb = mlnb + 4 + is_extb * extbb
+            ip_advb = mposb + 2 + is_extb
+            cposb = cpos1 + mlen
+            oposb1 = opos2 + llb
+            cposb1 = cposb + llb
+            oposb2 = oposb1 + mlenb
+            ok_eb = jnp.logical_and(
+                jnp.logical_or(mlnb < 15, extbb != 255),
+                jnp.logical_or(jnp.logical_not(hasb), lleb != 255))
+            pair = jnp.logical_and(
+                jnp.logical_and(do_match,
+                                jnp.logical_and(ok_eb, offb >= mlenb)),
+                jnp.logical_and(llb <= 12, cposb1 + mlenb <= 123))
+            pair = jnp.logical_and(pair, mposb != iend)
+            pair = jnp.logical_and(pair, ip_advb <= iend)
+            pair = jnp.logical_and(pair, oposb2 <= olim)
+            pair = jnp.logical_and(
+                pair, jnp.logical_and(offb > 0, offb <= oposb1 - floor))
+            pair = jnp.logical_and(pair, oposb1 - offb + mlenb <= opos1)
+
+            carry, _ = lit12(carry, ip1, cpos, ll, two_rows=False)
+
+            ostore(orow(opos), carry)
+            v = owindow(opos1 - offset - cpos1)
+            vb = owindow(oposb1 - offb - cposb1)
+            carry = merge(carry, v, cpos1, jnp.where(do_match, mlen, 0))
+            carry, _ = lit12(carry, lit_ipb, cposb,
+                             jnp.where(pair, llb, 0), two_rows=False)
+            carry = merge(carry, vb, cposb1, jnp.where(pair, mlenb, 0))
+
+            ip = jnp.where(pair, ip_advb,
+                           jnp.where(do_match, ip_adv, ipm))
+            opos = jnp.where(pair, oposb2,
+                             jnp.where(do_match, opos2,
+                                       jnp.where(ok_l, opos1, opos)))
             status = jnp.where(jnp.logical_and(ended, ok_l), 1,
                                jnp.where(do_match, 0, 2))
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
