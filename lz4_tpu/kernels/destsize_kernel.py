@@ -263,8 +263,8 @@ def _encode_dest_size(val_rows, slen, caps, wlen, *, NS, M, acceleration,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((1, NS + 8), jnp.int32),
-            pltpu.SMEM((1, M + 8), jnp.int32),
+            pltpu.SMEM((1, NS + 24), jnp.int32),
+            pltpu.SMEM((1, M + 24), jnp.int32),
             pltpu.SMEM((HASH_SIZE,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -584,7 +584,7 @@ def _sg_encode_chain(vals_rows, in_ends, caps, misc, *, T, M, acceleration,
         ),
         scratch_shapes=[
             pltpu.SMEM((2 * CHAIN_BLOCK // 128 + 2, 128), jnp.int32),
-            pltpu.SMEM((1, M + 8), jnp.int32),
+            pltpu.SMEM((1, M + 24), jnp.int32),
             pltpu.SMEM((HASH_SIZE,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),

@@ -23,18 +23,37 @@ def make_emitters(val, osmem):
     """
 
     def copy_lit4(dst, src, end):
-        """4-wide literal wildcopy (slack lanes absorb the over-copy)."""
+        """16-wide literal wildcopy (slack lanes absorb the over-copy;
+        callers allocate >= 15 lanes of slack on both the source val
+        window and the output row).  Wide because the scan's cost is
+        while-loop iteration count (docs/SOL.md): one iteration moves
+        16 bytes with four val32 loads."""
         off = src - dst
 
-        def lit4(k):
-            w = val(off + k)
-            osmem[0, k] = w & 0xFF
-            osmem[0, k + 1] = (w >> 8) & 0xFF
-            osmem[0, k + 2] = (w >> 16) & 0xFF
-            osmem[0, k + 3] = (w >> 24) & 0xFF
-            return k + 4
+        def lit16(k):
+            w0 = val(off + k)
+            w1 = val(off + k + 4)
+            w2 = val(off + k + 8)
+            w3 = val(off + k + 12)
+            osmem[0, k] = w0 & 0xFF
+            osmem[0, k + 1] = (w0 >> 8) & 0xFF
+            osmem[0, k + 2] = (w0 >> 16) & 0xFF
+            osmem[0, k + 3] = (w0 >> 24) & 0xFF
+            osmem[0, k + 4] = w1 & 0xFF
+            osmem[0, k + 5] = (w1 >> 8) & 0xFF
+            osmem[0, k + 6] = (w1 >> 16) & 0xFF
+            osmem[0, k + 7] = (w1 >> 24) & 0xFF
+            osmem[0, k + 8] = w2 & 0xFF
+            osmem[0, k + 9] = (w2 >> 8) & 0xFF
+            osmem[0, k + 10] = (w2 >> 16) & 0xFF
+            osmem[0, k + 11] = (w2 >> 24) & 0xFF
+            osmem[0, k + 12] = w3 & 0xFF
+            osmem[0, k + 13] = (w3 >> 8) & 0xFF
+            osmem[0, k + 14] = (w3 >> 16) & 0xFF
+            osmem[0, k + 15] = (w3 >> 24) & 0xFF
+            return k + 16
 
-        lax.while_loop(lambda k: k < end, lit4, dst)
+        lax.while_loop(lambda k: k < end, lit16, dst)
 
     def emit_ext(op, extra):
         """255-run length-extension bytes (value 15 already in token)."""

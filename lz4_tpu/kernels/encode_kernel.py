@@ -47,6 +47,7 @@ uses a persistent table.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +66,11 @@ POS_MASK = (1 << POS_BITS) - 1
 SKIP_TRIGGER = 6
 
 MAX_BLOCK = 1 << POS_BITS
+
+# linked-path sort tiling: blocks per sorted tile (1 = per-block
+# [window|block] rows; >1 amortizes the window duplication; measured on
+# chip via LZ4TPU_ENC_TILE, see docs/SOL.md)
+ENC_TILE_BLOCKS = int(os.environ.get("LZ4TPU_ENC_TILE", "4"))
 
 
 @functools.partial(jax.jit, static_argnames=("row_bytes",))
@@ -104,7 +110,7 @@ def hash_rows(val: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def cand_delta_rows(val: jax.Array, filter_rows=None) -> jax.Array:
+def cand_delta_rows(val: jax.Array, filter_mm=None) -> jax.Array:
     """[B, N] val32 rows -> [B, N] int32 candidate deltas: lane p holds
     ``p - p'`` for the NEAREST p' < p whose 5 bytes equal p's within the
     65535-byte match window, or 0 when none exists.
@@ -119,25 +125,30 @@ def cand_delta_rows(val: jax.Array, filter_rows=None) -> jax.Array:
     (common 4-grams are everywhere) and was measured 4-10% worse on
     ratio; 5 bytes biases candidates toward longer matches.
 
-    ``filter_rows`` (optional [B] bool): rows flagged True get the
-    min_match>=11 NECESSARY-condition pre-filter applied HERE, on the
-    VPU, instead of in the scalar scan: a total (forward+backward)
-    length >= 11 needs forward >= 8 (val32 at +4 equal) or backward
-    >= 4 (val32 at -4 equal).  The two extra words ride the sort as
-    passenger operands, so candidates that cannot reach min_match are
-    zeroed before the scan ever sees them — the scalar loop's two
-    probe loads and the rejected-candidate extension walks disappear.
-    Survivors still get the exact ``ml >= min_match`` test in-kernel,
-    so this only prunes candidates the scan would reject anyway (the
-    wrapped-lane compares at row edges are heuristic in exactly the
-    way the in-kernel clamped loads were — necessary-only either way).
+    ``filter_mm`` (optional [B] int32 per-row min_match): rows with
+    mm >= 6 get a NECESSARY-condition pre-filter applied HERE, on the
+    VPU, instead of in the scalar scan.  The sort carries val32@+4 and
+    val32@-4 as passenger operands; XOR byte-run counts between the
+    neighbour pair give the EXACT forward match length up to 8 (bytes
+    0..4 equal by the 5-byte key; bytes 5..7 tested individually) and
+    the EXACT backward run up to 4 — so a candidate is zeroed precisely
+    when fwd < 8 AND bwd < 4 AND fwd + bwd < mm, which the scalar scan
+    would provably reject anyway.  The scan's rejected-candidate
+    extension walks disappear, and the barren-jump table (built from
+    the filtered deltas) jumps the whole rejected region.  Survivors
+    still get the exact ``ml >= min_match`` test in-kernel.  (The
+    wrapped-lane compares at row edges are heuristic in exactly the way
+    the in-kernel clamped loads were — necessary-only either way; a
+    false byte EQUALITY at a wrapped lane only keeps a candidate, and
+    positions near the row end never start matches.)
     """
     B, N = val.shape
-    assert N <= (1 << 18)
+    assert N <= (1 << 19)
+    pos_bits = 18 if N <= (1 << 18) else 19
     pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
     b5 = jnp.roll(val, -4, axis=-1) & 0xFF
-    k2 = (b5 << 18) | pos
-    if filter_rows is None:
+    k2 = (b5 << pos_bits) | pos
+    if filter_mm is None:
         sk, sk2 = lax.sort((val, k2), dimension=1, num_keys=2)
         keep = None
     else:
@@ -145,14 +156,30 @@ def cand_delta_rows(val: jax.Array, filter_rows=None) -> jax.Array:
         vm4 = jnp.roll(val, 4, axis=-1)
         sk, sk2, sv4, svm4 = lax.sort((val, k2, v4, vm4), dimension=1,
                                       num_keys=2)
-        fwd8 = sv4[:, 1:] == sv4[:, :-1]
-        bwd4 = svm4[:, 1:] == svm4[:, :-1]
+        tf = sv4[:, 1:] ^ sv4[:, :-1]      # bytes +4..+7 (byte +4 = key)
+        tb = svm4[:, 1:] ^ svm4[:, :-1]    # bytes -4..-1
+        # forward run: 5 key bytes + bytes +5, +6, +7 (prefix tests)
+        m5 = (tf & 0x00FF00) == 0
+        m6 = (tf & 0xFFFF00) == 0
+        m7 = tf == 0
+        fwd = (5 + m5.astype(jnp.int32) + m6.astype(jnp.int32)
+               + m7.astype(jnp.int32))            # exact up to 8
+        # backward run from byte -1 downward (suffix tests, top first)
+        n1 = ((tb >> 24) & 0xFF) == 0
+        n2 = ((tb >> 16) & 0xFFFF) == 0
+        n3 = ((tb >> 8) & 0xFFFFFF) == 0
+        n4 = tb == 0
+        bwd = (n1.astype(jnp.int32) + n2.astype(jnp.int32)
+               + n3.astype(jnp.int32) + n4.astype(jnp.int32))  # exact to 4
+        mm_row = filter_mm.reshape(B, 1).astype(jnp.int32)
         keep = jnp.logical_or(
-            jnp.logical_or(fwd8, bwd4),
-            jnp.logical_not(filter_rows.reshape(B, 1)))
-    sp = sk2 & ((1 << 18) - 1)
-    same = jnp.logical_and(sk[:, 1:] == sk[:, :-1],
-                           (sk2 >> 18)[:, 1:] == (sk2 >> 18)[:, :-1])
+            jnp.logical_or(m7, n4),               # length caps reached:
+            fwd + bwd >= mm_row)                  # true length unknown
+
+    sp = sk2 & ((1 << pos_bits) - 1)
+    same = jnp.logical_and(
+        sk[:, 1:] == sk[:, :-1],
+        (sk2 >> pos_bits)[:, 1:] == (sk2 >> pos_bits)[:, :-1])
     if keep is not None:
         same = jnp.logical_and(same, keep)
     same = jnp.concatenate([jnp.zeros((B, 1), bool), same], axis=1)
@@ -231,11 +258,18 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int,
             mp, q2 = lax.while_loop(bcond, bbody, (ip, q))
 
             # forward extension: stride-4 val32 equality...
-            def f4cond(ml):
-                return jnp.logical_and(mp + ml + 4 <= matchlimit,
-                                       val(q2 + ml) == val(mp + ml))
+            def f8cond(ml):
+                # stride-8: two val32 equality tests per iteration — the
+                # scan's cost is while-loop iteration count (docs/SOL.md)
+                return jnp.logical_and(
+                    mp + ml + 8 <= matchlimit,
+                    jnp.logical_and(val(q2 + ml) == val(mp + ml),
+                                    val(q2 + ml + 4) == val(mp + ml + 4)))
 
-            ml = lax.while_loop(f4cond, lambda ml: ml + 4, ip + 4 - mp)
+            ml = lax.while_loop(f8cond, lambda ml: ml + 8, ip + 4 - mp)
+            step4 = jnp.logical_and(mp + ml + 4 <= matchlimit,
+                                    val(q2 + ml) == val(mp + ml))
+            ml = ml + jnp.where(step4, 4, 0)
             # ...then a branchless <4-byte tail from the XOR of the first
             # mismatching words (diff==0 means limit-stopped: tail=3 and
             # the min() clamp does the bounding), lz4.c LZ4_count's role
@@ -317,10 +351,10 @@ def _make_encode_kernel(NS: int, M: int, acceleration: int,
 def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret,
                    min_match=4, reject_step=1):
     B = val_rows.shape[0]
-    prefiltered = min_match >= 11
+    prefiltered = min_match >= 6     # below 6 the filter keeps everything
     d_rows = cand_delta_rows(
         val_rows,
-        jnp.ones((B,), bool) if prefiltered else None)
+        jnp.full((B,), min_match, jnp.int32) if prefiltered else None)
     # barren-jump distances ride the spare high 16 bits (deltas <= 65535).
     # jump = 65535 intentionally wraps into the int32 sign bit; the kernel
     # recovers it as (w >> 16) & 0xFFFF (arithmetic shift then mask), so
@@ -337,9 +371,9 @@ def _encode_blocks(val_rows, slen, *, NS, M, acceleration, interpret,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((1, NS + 8), jnp.int32),
-            pltpu.SMEM((1, NS + 8), jnp.int32),
-            pltpu.SMEM((1, M + 8), jnp.int32),
+            pltpu.SMEM((1, NS + 24), jnp.int32),
+            pltpu.SMEM((1, NS + 24), jnp.int32),
+            pltpu.SMEM((1, M + 24), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -511,11 +545,18 @@ def _make_encode_linked_kernel(NS: int, M: int, acceleration: int,
 
             mp, q2 = lax.while_loop(bcond, bbody, (ip, q))
 
-            def f4cond(ml):
-                return jnp.logical_and(mp + ml + 4 <= matchlimit,
-                                       val(q2 + ml) == val(mp + ml))
+            def f8cond(ml):
+                # stride-8: two val32 equality tests per iteration — the
+                # scan's cost is while-loop iteration count (docs/SOL.md)
+                return jnp.logical_and(
+                    mp + ml + 8 <= matchlimit,
+                    jnp.logical_and(val(q2 + ml) == val(mp + ml),
+                                    val(q2 + ml + 4) == val(mp + ml + 4)))
 
-            ml = lax.while_loop(f4cond, lambda ml: ml + 4, ip + 4 - mp)
+            ml = lax.while_loop(f8cond, lambda ml: ml + 8, ip + 4 - mp)
+            step4 = jnp.logical_and(mp + ml + 4 <= matchlimit,
+                                    val(q2 + ml) == val(mp + ml))
+            ml = ml + jnp.where(step4, 4, 0)
             diff = val(q2 + ml) ^ val(mp + ml)
             tail = (jnp.where((diff & 0xFF) == 0, 1, 0)
                     + jnp.where((diff & 0xFFFF) == 0, 1, 0)
@@ -608,13 +649,50 @@ def _encode_blocks_linked(val_rows, slen, prefix, mm_rows=None, *, NS, M,
     # gated in dynamic mode so static mm=K and mm_rows=[K..] stay
     # bit-identical).
     if dynamic_mm:
-        filter_rows = mm_rows.reshape(S * NB) >= 11
-    elif min_match >= 11:
-        filter_rows = jnp.ones((S * NB,), bool)
+        # per-block mm: the filter threshold varies per row, so sort the
+        # per-block [window | block] rows (filter rides per-row)
+        filter_mm = mm_rows.reshape(S * NB).astype(jnp.int32)
+        d_full = cand_delta_rows(val_rows.reshape(S * NB, W),
+                                 filter_mm)[:, WINDOW:]
     else:
-        filter_rows = None
-    d_full = cand_delta_rows(val_rows.reshape(S * NB, W),
-                             filter_rows)[:, WINDOW:]
+        # TILE SORTS: the per-block [window | block] rows sort every byte
+        # twice; sorting [window | K blocks] tiles instead keeps the
+        # exact same candidate reach (any lane still sees <= 65535 bytes
+        # back, which never crosses more than one 64KB block boundary)
+        # at 1.25x elements per byte instead of 2x — bit-identical
+        # deltas, ~25-30% less sort work (docs/SOL.md).
+        K = min(ENC_TILE_BLOCKS, NB)
+        T = -(-NB // K)
+        vr = val_rows
+        if T * K != NB:
+            vr = jnp.pad(val_rows, ((0, 0), (0, T * K - NB), (0, 0)))
+        heads = vr[:, ::K, :WINDOW]                       # [S, T, WINDOW]
+        bodies = vr[:, :, WINDOW:]                        # [S, T*K, NS]
+        # repair every block's last 3 lanes: their val32 lookahead
+        # wrapped at the SOURCE row's edge, but mid-tile those lanes
+        # must see the next block's bytes — which the next row's window
+        # part carries with real lookahead (positions WINDOW-3..WINDOW-1
+        # are mid-row there).  The final row keeps its wrapped tail:
+        # nothing after it in any tile can link to it.
+        tails = jnp.concatenate(
+            [vr[:, 1:, WINDOW - 3:WINDOW], vr[:, -1:, W - 3:W]], axis=1)
+        bodies = jnp.concatenate([bodies[:, :, :NS - 3], tails], axis=2)
+        bodies = bodies.reshape(S, T, K * NS)
+        tiles = jnp.concatenate([heads, bodies], axis=2)
+        filter_mm = (jnp.full((S * T,), min_match, jnp.int32)
+                     if min_match >= 6 else None)
+        d_tiles = cand_delta_rows(
+            tiles.reshape(S * T, WINDOW + K * NS), filter_mm)
+        d_full = d_tiles[:, WINDOW:].reshape(
+            S, T * K, NS)[:, :NB].reshape(S * NB, NS)
+    # zero the last 12 lanes' deltas: positions past mflimit are never
+    # probed (lz4.c:539 parity — matches may not start in the last 12
+    # bytes), and the filter's wrapped-lane reads make those lanes the
+    # only place the window- and tile-sort layouts can disagree; masking
+    # them keeps the parse (and the barren-jump table) bit-identical
+    # across layouts
+    posr12 = jnp.arange(NS, dtype=jnp.int32)
+    d_full = jnp.where(posr12[None, :] < NS - 12, d_full, 0)
     dp = d_full.reshape(S, NB, NS // 2, 2)
     d_rows = dp[..., 0] | (dp[..., 1] << 16)
     # barren-jump side table (4-granular; see the kernel's skip()):
@@ -634,10 +712,10 @@ def _encode_blocks_linked(val_rows, slen, prefix, mm_rows=None, *, NS, M,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((1, W + 8), jnp.int32),
+            pltpu.SMEM((1, W + 24), jnp.int32),
             pltpu.SMEM((1, NS // 2 + 8), jnp.int32),
             pltpu.SMEM((1, NS // 4 + 8), jnp.int32),
-            pltpu.SMEM((1, M + 8), jnp.int32),
+            pltpu.SMEM((1, M + 24), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),

@@ -307,9 +307,9 @@ def _encode_blocks_hc(val_rows, slen, *, NS, M, max_attempts, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((1, NS + 8), jnp.int32),
-            pltpu.SMEM((1, NS + 8), jnp.int32),
-            pltpu.SMEM((1, M + 8), jnp.int32),
+            pltpu.SMEM((1, NS + 24), jnp.int32),
+            pltpu.SMEM((1, NS + 24), jnp.int32),
+            pltpu.SMEM((1, M + 24), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),

@@ -148,29 +148,50 @@ def encode_linked_sharded(mesh: Mesh, val_rows: jax.Array, lens: jax.Array,
 def sg_compress_mesh(mesh: Mesh, lists, out_caps, acceleration: int = 1):
     """Compress many independent SG lists data-parallel over the mesh.
 
-    Every list must share one input layout (identical buffer lengths) so
-    a single compiled chain kernel serves all shards; ``out_caps`` is
-    shared too.  Each device walks its lists sequentially (lax.map) with
-    the whole buffer-pair walk on device; the host then replays each
-    list's per-step results into the wire-exact SG walk (headers,
-    zero-pads, endmark — sg.sg_compress bookkeeping).
+    RAGGED layouts are supported (round-4): lists are BUCKETED by their
+    (buffer-length layout, caps) signature and each bucket runs the
+    device chain kernel over the mesh — one compiled kernel per distinct
+    layout, no host fallback.  ``out_caps`` may be one shared cap list
+    or a per-list list of cap lists.
+
+    Each device walks its lists sequentially (lax.map) with the whole
+    buffer-pair walk on device; the host then replays each list's
+    per-step results into the wire-exact SG walk (headers, zero-pads,
+    endmark — sg.sg_compress bookkeeping).
 
     Returns a list of (total_out, consumed, out_bufs) per input list.
     """
+    if not lists:
+        return []
+    if out_caps and isinstance(out_caps[0], (list, tuple)):
+        caps_per = [list(map(int, c)) for c in out_caps]
+        if len(caps_per) != len(lists):
+            raise ValueError("per-list out_caps must match lists")
+    else:
+        caps_per = [list(map(int, out_caps))] * len(lists)
+    buckets: dict = {}
+    for i, (lst, caps) in enumerate(zip(lists, caps_per)):
+        key = (tuple(len(b) for b in lst), tuple(caps))
+        buckets.setdefault(key, []).append(i)
+    results: list = [None] * len(lists)
+    for (_, caps_key), idxs in buckets.items():
+        sub = _sg_compress_mesh_uniform(
+            mesh, [lists[i] for i in idxs], list(caps_key), acceleration)
+        for i, r in zip(idxs, sub):
+            results[i] = r
+    return results
+
+
+def _sg_compress_mesh_uniform(mesh: Mesh, lists, out_caps,
+                              acceleration: int = 1):
+    """One shared-layout bucket of sg_compress_mesh."""
     from .. import sg as sg_mod
     from ..kernels.common import on_cpu
     from ..kernels.destsize_kernel import _sg_encode_chain, sg_chain_statics
     from ..tpu import fetch_byte_rows
 
-    if not lists:
-        return []
-    layout = tuple(len(b) for b in lists[0])
-    for lst in lists[1:]:
-        if tuple(len(b) for b in lst) != layout:
-            raise ValueError("sg_compress_mesh requires one shared input "
-                             "layout across lists (use sg_compress per "
-                             "list for ragged layouts)")
     caps = [int(c) for c in out_caps]
+    layout = tuple(len(b) for b in lists[0])
     max_dest = sum(caps)
 
     vals0, in_ends, total = sg_mod.sg_chain_vals(lists[0])
@@ -228,12 +249,14 @@ def sg_decompress_mesh(mesh: Mesh, comp_lists, out_caps):
     """Decompress many independent SG frames data-parallel over the mesh.
 
     ``comp_lists`` is a list of compressed iovec lists; ``out_caps`` the
-    shared original buffer sizes (the SG contract: decompress buffers
-    must equal the compression input sizes, lz4sg.h:96-100).  Each frame's
-    iovec walk runs on host (header/zero-pad bookkeeping, exact errors);
-    the block chains execute on device, sharded over the mesh.  Frames
-    whose chain layout diverges from the first (different block count —
-    possible from zero-pad placement) fall back to per-frame decode.
+    original buffer sizes (the SG contract: decompress buffers must
+    equal the compression input sizes, lz4sg.h:96-100) — one shared cap
+    list, or a per-frame list of cap lists for RAGGED frames.  Each
+    frame's iovec walk runs on host (header/zero-pad bookkeeping, exact
+    errors); the block chains execute on device, sharded over the mesh
+    and BUCKETED by chain layout, so heterogeneous frames still run the
+    device path (round-4; host fallback remains only for blocks beyond
+    the kernel envelope).
 
     Returns a list of (total, out_bufs) per frame.
     """
@@ -243,12 +266,17 @@ def sg_decompress_mesh(mesh: Mesh, comp_lists, out_caps):
 
     if not comp_lists:
         return []
-    caps = [int(c) for c in out_caps]
+    if out_caps and isinstance(out_caps[0], (list, tuple)):
+        caps_per = [list(map(int, c)) for c in out_caps]
+        if len(caps_per) != len(comp_lists):
+            raise ValueError("per-frame out_caps must match comp_lists")
+    else:
+        caps_per = [list(map(int, out_caps))] * len(comp_lists)
 
     # host walk each frame with a collecting stand-in codec (conformant
     # frames fill each slice exactly) to extract its block chain
     chains, totals = [], []
-    for bufs in comp_lists:
+    for bufs, caps in zip(comp_lists, caps_per):
         collected = []
 
         def collector(comp, out_cap, dict_, _c=collected):
@@ -262,30 +290,36 @@ def sg_decompress_mesh(mesh: Mesh, comp_lists, out_caps):
         chains.append(collected)
         totals.append(total)
 
-    sizes0 = [sz for _, sz in chains[0]]
-    uniform = [i for i, ch in enumerate(chains)
-               if [sz for _, sz in ch] == sizes0 and sizes0 and
-               max(sz for _, sz in ch) <= 65536]
+    # RAGGED chains (round-4): bucket frames by their chain layout —
+    # each distinct layout gets its own mesh-parallel device pass (one
+    # compiled kernel per layout; no host fallback for any bucket whose
+    # blocks fit the kernel envelope)
     results: list = [None] * len(comp_lists)
-    if len(uniform) >= 2:
+    buckets: dict = {}
+    for i, ch in enumerate(chains):
+        sizes = tuple(sz for _, sz in ch)
+        if sizes and max(sizes) <= 65536:
+            buckets.setdefault(sizes, []).append(i)
+    for sizes_key, group in buckets.items():
+        sizes0 = list(sizes_key)
         B = len(sizes0)
-        M = max(len(c) for i in uniform for c, _ in chains[i])
+        M = max(len(c) for i in group for c, _ in chains[i])
         M = -(-M // 128) * 128
         D = mesh.shape[AXIS]
-        L = len(uniform)
+        L = len(group)
         Lp = -(-L // D) * D
         comp = np.zeros((Lp, B, M), np.int32)
         clen = np.zeros((Lp, B), np.int32)
-        for k, i in enumerate(uniform):
+        for k, i in enumerate(group):
             for j, (c, _) in enumerate(chains[i]):
                 comp[k, j, :len(c)] = np.frombuffer(c, np.uint8)
                 clen[k, j] = len(c)
         comp[L:] = comp[0]
         clen[L:] = clen[0]
 
-        def body(c, ln):
+        def body(c, ln, _sizes=sizes0):
             return jax.lax.map(
-                lambda args: decode_blocks_sg(args[0], args[1], sizes0),
+                lambda args: decode_blocks_sg(args[0], args[1], _sizes),
                 (c, ln))
 
         mapped = jax.shard_map(
@@ -298,19 +332,19 @@ def sg_decompress_mesh(mesh: Mesh, comp_lists, out_caps):
                            shard_rows(mesh, jnp.asarray(clen)))
         olen = np.asarray(olen)
         tot0 = sum(sizes0)
-        for k, i in enumerate(uniform):
+        for k, i in enumerate(group):
             if (olen[k, :B] == np.asarray(sizes0)).all():
                 flat = fetch_byte_rows(out[k]).reshape(-1)
                 content = bytes(flat[65536:65536 + tot0])
                 outs, pos = [], 0
-                for c in caps:
+                for c in caps_per[i]:
                     outs.append(content[pos:pos + c])
                     pos += c
                 results[i] = (totals[i], outs)
 
     for i, bufs in enumerate(comp_lists):
-        if results[i] is None:   # ragged chain or kernel mismatch
-            results[i] = sg_mod.sg_decompress(bufs, caps)
+        if results[i] is None:   # >64KB blocks or kernel mismatch
+            results[i] = sg_mod.sg_decompress(bufs, caps_per[i])
     return results
 
 

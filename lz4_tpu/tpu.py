@@ -650,6 +650,26 @@ class DeviceFrameCompressor:
         self._tail = data[-BS:]
         return out
 
+    def flush(self) -> bytes:
+        """Emit the buffered sub-block remainder NOW as a (possibly
+        short) linked block — bounded-latency emission for callers that
+        cannot wait for a whole 64KB block or for end().  Parity:
+        LZ4F_flush (reference lz4frame.c:693-722); like the reference,
+        a flush mid-stream simply produces a shorter block and the
+        window keeps carrying, so flushed frames decode identically.
+        Returns b"" when nothing is buffered."""
+        assert self._begun, "call begin() first"
+        if not self._buf:
+            return b""
+        data, self._buf = self._buf, b""
+        if self.prefs.content_checksum:
+            self._xxh.update(data)
+        out = self._encode(data, self._tail)
+        self._tail = ((self._tail + data)[-spec.WINDOW_SIZE:]
+                      if len(data) < spec.WINDOW_SIZE
+                      else data[-spec.WINDOW_SIZE:])
+        return out
+
     def end(self) -> bytes:
         parts = []
         if self._buf:

@@ -60,3 +60,29 @@ def test_compress_stream_chunked(linked, monkeypatch):
     assert out.getvalue() == data
     if oracle.available():
         assert oracle.ref_decompress_frame(frame, len(data)) == data
+
+
+def test_device_frame_compressor_flush():
+    """LZ4F_flush parity (lz4frame.c:693-722): interleaved flushes emit
+    the buffered remainder as short linked blocks with the window still
+    carrying; the flushed frame decodes bit-exactly here AND at the
+    reference library."""
+    data = gen_buffer(150_000, 0.7, 4242)
+    prefs = FramePreferences(block_size_id=4, content_checksum=True)
+    c = DeviceFrameCompressor(prefs)
+    parts = [c.begin()]
+    cuts = [0, 10_000, 70_000, 70_100, 131_072, 150_000]
+    for a, b in zip(cuts, cuts[1:]):
+        parts.append(c.update(data[a:b]))
+        out = c.flush()
+        parts.append(out)
+    assert c.flush() == b""          # nothing buffered after a flush
+    parts.append(c.end())
+    frame = b"".join(parts)
+    out, used = decompress_frame(frame)
+    assert out == data and used == len(frame)
+    from lz4_tpu.tpu import decompress_frame_device
+    out2, _ = decompress_frame_device(frame)
+    assert out2 == data
+    if oracle.available():
+        assert oracle.ref_decompress_frame(frame, len(data)) == data

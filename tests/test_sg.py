@@ -430,11 +430,52 @@ def test_sg_mesh_roundtrip():
         assert [bytes(o) for o in outs] == lists[i]
 
 
-def test_sg_mesh_requires_uniform_layout():
-    from lz4_tpu.parallel.mesh import default_mesh, sg_compress_mesh
+def test_sg_mesh_ragged_layouts(monkeypatch):
+    """RAGGED SG lists over the mesh (VERDICT r3 #10): three distinct
+    buffer layouts round-trip through the device chain kernels — layout
+    buckets, not host fallback (asserted by failing the fallback
+    entry points)."""
+    from lz4_tpu import sg as sg_mod
+    from lz4_tpu.parallel import mesh as mesh_mod
+    from lz4_tpu.parallel.mesh import (default_mesh, sg_compress_mesh,
+                                       sg_decompress_mesh)
 
     mesh = default_mesh(8)
-    a = split_buffers(gen_buffer(4096, 0.8, 1), [2048, 2048])
-    b = split_buffers(gen_buffer(4096, 0.8, 2), [1024, 3072])
-    with pytest.raises(ValueError):
-        sg_compress_mesh(mesh, [a, b], [4096 + 256])
+    layouts = [[2048, 2048], [1024, 3072], [4096]]
+    caps_per = [[2048 + 256] * 3, [3072 + 256] * 2, [4096 + 256, 512]]
+    lists, all_caps = [], []
+    for i in range(6):
+        lay = layouts[i % 3]
+        lists.append(split_buffers(gen_buffer(4096, 0.8, 9_000 + i), lay))
+        all_caps.append(caps_per[i % 3])
+
+    real_compress = sg_mod.sg_compress
+    real_decompress = sg_mod.sg_decompress
+
+    def guard_compress(lst, caps, dest_size_compress=None, **kw):
+        assert dest_size_compress is not None, "host-fallback compress!"
+        return real_compress(lst, caps,
+                             dest_size_compress=dest_size_compress, **kw)
+
+    def guard_decompress(bufs, caps, block_decompress=None, **kw):
+        assert block_decompress is not None, "host-fallback decompress!"
+        return real_decompress(bufs, caps,
+                               block_decompress=block_decompress, **kw)
+
+    monkeypatch.setattr(sg_mod, "sg_compress", guard_compress)
+    results = sg_compress_mesh(mesh, lists, all_caps)
+    assert len(results) == len(lists)
+    comp_lists = []
+    for i, (total, consumed, outs) in enumerate(results):
+        assert consumed == 4096 and total > 0
+        content, _ = decompress_frame(
+            concat_filled(outs, all_caps[i], total))
+        assert content == b"".join(lists[i])
+        comp_lists.append(trim_to_filled(outs, all_caps[i], total))
+
+    monkeypatch.setattr(sg_mod, "sg_decompress", guard_decompress)
+    decoded = sg_decompress_mesh(mesh, comp_lists,
+                                 [layouts[i % 3] for i in range(6)])
+    for i, (total, outs) in enumerate(decoded):
+        assert total == 4096
+        assert [bytes(o) for o in outs] == lists[i]
