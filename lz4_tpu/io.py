@@ -104,16 +104,24 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, prefs: IoPrefs,
         use_device = _device_available()
 
     if use_device and prefs.level >= 3:
-        # HC levels: device HC kernel over independent 64KB blocks
-        # (documented demotion: ratio parity, a few MB/s per chip — vs
-        # the host oracle's minutes; lz4hc.c speed is not reachable on
-        # a scalar-issue-bound core, docs/ARCHITECTURE.md)
-        from .tpu import compress_frame_device_hc
+        # HC levels: measured-cost routing (round 4).  The device HC
+        # kernel runs ~3.4 MB/s at level 9 (ratio within 1.3% of
+        # lz4hc.c; 64MB in ~20s — scratch/hc_ab.py); the exact host
+        # oracle is ~100x slower still.  Device wins whenever the input
+        # amortizes the kernel compile (~40s cold), so small inputs
+        # stay on host; LZ4TPU_HC_DEVICE_MIN overrides the crossover.
         data = src.read()
-        fp = _prefs_to_frame(prefs, len(data) if prefs.content_size else None)
-        frame = compress_frame_device_hc(data, fp, level=prefs.level)
-        dst.write(frame)
-        return len(data), len(frame)
+        hc_min = int(os.environ.get("LZ4TPU_HC_DEVICE_MIN",
+                                    str(1 << 20)))
+        if len(data) >= hc_min:
+            from .tpu import compress_frame_device_hc
+            fp = _prefs_to_frame(prefs,
+                                 len(data) if prefs.content_size else None)
+            frame = compress_frame_device_hc(data, fp, level=prefs.level)
+            dst.write(frame)
+            return len(data), len(frame)
+        use_device = False
+        src = io.BytesIO(data)
 
     if use_device:
         if prefs.block_linked and spec.BLOCK_SIZES[prefs.block_size_id] \

@@ -143,14 +143,24 @@ def _make_lit12(sval, merge, lane):
     return lit12
 
 
-def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
+def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
+                        resumable: bool = False):
     """mode: 'batch' (independent blocks, optional per-block dicts),
     'linked' (full-block chains, window = previous block's output), or
     'sg' (scatter-gather chains: outputs land at arbitrary byte offsets
     of ONE continuous HBM space; the window is the preceding 64 KB of
     that space, realigned on entry, and the block's output is written
     back byte-shifted to its global offset — lz4sg.c:536-695 semantics
-    with the iovec walking on the host)."""
+    with the iovec walking on the host).
+
+    ``resumable``: destSize-decode variant (the fork's token-boundary
+    rewind, lz4.c:1161-1163, 1316-1319): a row that runs out of output
+    room stops cleanly at the last token boundary — olen reports the
+    bytes produced and cons the source bytes consumed up to it, so a
+    caller can resume with more output (feeding comp[cons:] with the
+    produced bytes as the dictionary window).  Corruption still reports
+    olen = cons = -1.  The plain variant keeps its straight-line
+    failure wheres (the rewind selects cost a few ops per sequence)."""
     MR = M // 128
     PR = P // 128
     NR = N // 128
@@ -160,8 +170,13 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
     sg = mode == "sg"
 
     def kernel(clen_ref, plen_ref, ocap_ref, vals2d_hbm, pre2d_hbm,
-               vals3d_hbm, dict_hbm, out_hbm, olen_ref, vsmem, psmem,
-               cvmem, ovmem, *rest):
+               vals3d_hbm, dict_hbm, out_hbm, olen_ref, *rest):
+        if resumable:
+            cons_ref, vsmem, psmem, cvmem, ovmem = rest[:5]
+        else:
+            cons_ref = None
+            vsmem, psmem, cvmem, ovmem = rest[:4]
+        rest = rest[5 if resumable else 4:]
         if sg:
             stage, sem_s, sem_p, sem_v, sem_d, sem_o = rest
         else:
@@ -323,49 +338,61 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
                 lambda st: st[2] > 0, body, (carry, opos, mlen, offset))
             return carry, opos
 
-        def slow_seq(ip, opos, carry, fl, ll_f, litip_f, mlb, cpos,
+        def slow_seq(ip0, opos0, carry, fl, ll_f, litip_f, mlb, cpos,
                      mlen_f, offset_f, ipadv_f):
             # (the _f args are the fast path's precomputed values; the
             # general path re-derives them with full extension loops.
             # nibble reconstruction: ll < 15 <=> no literal extension, so
             # min(ll, 15) is exactly the token's literal nibble; mlb is
             # the match nibble + 4.)
+            # The WHOLE sequence is parsed and validated BEFORE any byte
+            # moves: a failing sequence leaves the carry and rows
+            # untouched, so (ip0, opos0) is a clean token-boundary
+            # rewind (lz4.c:1161-1163, 1316-1319 destSize contract) —
+            # and status 3 (out of room) is distinguishable from
+            # status 2 (corrupt).
             ll_nib = jnp.minimum(ll_f, 15)
             ml_nib = mlb - 4
-            ip = ip + 1
-            ext, ip, ok = read_ext(ll_nib, ip)
+            ip = ip0 + 1
+            ext, ip, ok1 = read_ext(ll_nib, ip)
             litlen = ll_nib + ext
+            lit_start = ip
+            v_lit = jnp.logical_and(ok1, ip + litlen <= n)
+            ip_after = ip + litlen
+            ended = jnp.logical_and(v_lit, ip_after == n)
+            r_lit = opos0 + litlen <= olim
 
-            ok = jnp.logical_and(ok, ip + litlen <= n)
-            ok = jnp.logical_and(ok, opos + litlen <= olim)
-
-            carry, opos = lax.cond(
-                jnp.logical_and(ok, litlen > 0),
-                lambda c, o: copy_literals(c, o, ip, litlen),
-                lambda c, o: (c, o), carry, opos)
-            ip = ip + litlen
-
-            ended = jnp.logical_and(ok, ip == n)
-
-            ok_m = jnp.logical_and(ok, ip + 2 <= n)
-            offset = jnp.where(ok_m, sval(ip) & 0xFFFF, 1)
-            ip_m = ip + 2
+            ok_m0 = jnp.logical_and(v_lit, ip_after + 2 <= n)
+            offset = jnp.where(ok_m0, sval(ip_after) & 0xFFFF, 1)
+            ip_m = ip_after + 2
             ext2, ip_m, ok_e2 = read_ext(ml_nib, ip_m)
             mlen = ml_nib + ext2 + 4
-            ok_m = jnp.logical_and(ok_m, ok_e2)
-            ok_m = jnp.logical_and(ok_m, offset > 0)
-            ok_m = jnp.logical_and(ok_m, offset <= opos + plen)
-            ok_m = jnp.logical_and(ok_m, opos + mlen <= olim)
+            opos1 = opos0 + litlen
+            v_m = jnp.logical_and(ok_m0, ok_e2)
+            v_m = jnp.logical_and(v_m, jnp.logical_and(
+                offset > 0, offset <= opos1 + plen))
+            r_m = opos1 + mlen <= olim
 
-            do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
+            valid = jnp.logical_and(v_lit, jnp.logical_or(ended, v_m))
+            room = jnp.logical_and(r_lit, jnp.logical_or(ended, r_m))
+            go = jnp.logical_and(valid, room)
 
+            carry, opos = lax.cond(
+                jnp.logical_and(go, litlen > 0),
+                lambda c, o: copy_literals(c, o, lit_start, litlen),
+                lambda c, o: (c, o), carry, opos0)
+            do_match = jnp.logical_and(go, jnp.logical_not(ended))
             carry, opos = lax.cond(
                 do_match,
                 lambda c, o: copy_match(c, o, offset, mlen),
                 lambda c, o: (c, o), carry, opos)
-            ip = jnp.where(do_match, ip_m, ip)
 
-            status = jnp.where(ended, 1, jnp.where(do_match, 0, 2))
+            ip = jnp.where(do_match, ip_m,
+                           jnp.where(go, ip_after, ip0))
+            opos = jnp.where(go, opos, opos0)
+            status = jnp.where(jnp.logical_and(go, ended), 1,
+                               jnp.where(do_match, 0,
+                                         jnp.where(valid, 3, 2)))
             # flushed watermark: copy loops store completed rows; the
             # partial row [opos & ~127, opos) lives only in the carry
             fl = jnp.maximum(fl, opos & ~127)
@@ -478,14 +505,32 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
                                  jnp.where(px, llx, 0), two_rows=False)
                 carry = merge(carry, vx, cposx1, jnp.where(px, mlenx, 0))
 
-            ip = jnp.where(do_match, ip_adv, ipm)
-            opos = jnp.where(do_match, opos2,
-                             jnp.where(ok_l, opos1, opos))
+            ok_end = jnp.logical_and(ended, ok_l)
+            if resumable:
+                # token-boundary rewind on ANY failure; status 3 = only
+                # the output room was missing (resumable), 2 = corrupt
+                v_m = jnp.logical_and(
+                    ip_adv <= n,
+                    jnp.logical_and(offset > 0, offset <= opos1 + plen))
+                hard = jnp.logical_or(
+                    ipm > n,
+                    jnp.logical_and(jnp.logical_not(ended),
+                                    jnp.logical_not(v_m)))
+                ip = jnp.where(do_match, ip_adv,
+                               jnp.where(ok_end, ipm, ip))
+                opos = jnp.where(do_match, opos2,
+                                 jnp.where(ok_end, opos1, opos))
+                status = jnp.where(ok_end, 1,
+                                   jnp.where(do_match, 0,
+                                             jnp.where(hard, 2, 3)))
+            else:
+                ip = jnp.where(do_match, ip_adv, ipm)
+                opos = jnp.where(do_match, opos2,
+                                 jnp.where(ok_l, opos1, opos))
+                status = jnp.where(ok_end, 1, jnp.where(do_match, 0, 2))
             for (px, _, _, _, _, _, _, _, ip_advx, oposx2) in lanes:
                 ip = jnp.where(px, ip_advx, ip)
                 opos = jnp.where(px, oposx2, opos)
-            status = jnp.where(jnp.logical_and(ended, ok_l), 1,
-                               jnp.where(do_match, 0, 2))
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
                     status.astype(jnp.int32), carry, fl)
 
@@ -530,6 +575,7 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
 
             carry, carry2 = lax.cond(ll <= 12, lit_broadcast, lit_roll,
                                      carry)
+            carry_tok = carry   # == the value stored at r_a (rewinds)
 
             ended = ipm == n
             ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
@@ -574,13 +620,35 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
             def _():
                 ovmem[pl.ds(r1, 1), :] = mcarry
 
-            carry = jnp.where(cross_m, mcarry2,
-                              jnp.where(do_match, mcarry, carry))
-            ip = jnp.where(do_match, ip_adv, ipm)
-            opos = jnp.where(do_match, opos2,
-                             jnp.where(ok_l, opos1, opos))
-            status = jnp.where(jnp.logical_and(ended, ok_l), 1,
-                               jnp.where(do_match, 0, 2))
+            ok_end = jnp.logical_and(ended, ok_l)
+            if resumable:
+                # token-boundary rewind: restore the carry that matches
+                # the already-stored token row (carry_tok went to r_a)
+                v_m = jnp.logical_and(
+                    ip_adv <= n,
+                    jnp.logical_and(offset > 0, offset <= opos1 + plen))
+                hard = jnp.logical_or(
+                    ipm > n,
+                    jnp.logical_and(jnp.logical_not(ended),
+                                    jnp.logical_not(v_m)))
+                carry = jnp.where(
+                    cross_m, mcarry2,
+                    jnp.where(do_match, mcarry,
+                              jnp.where(ok_end, carry, carry_tok)))
+                ip = jnp.where(do_match, ip_adv,
+                               jnp.where(ok_end, ipm, ip))
+                opos = jnp.where(do_match, opos2,
+                                 jnp.where(ok_end, opos1, opos))
+                status = jnp.where(ok_end, 1,
+                                   jnp.where(do_match, 0,
+                                             jnp.where(hard, 2, 3)))
+            else:
+                carry = jnp.where(cross_m, mcarry2,
+                                  jnp.where(do_match, mcarry, carry))
+                ip = jnp.where(do_match, ip_adv, ipm)
+                opos = jnp.where(do_match, opos2,
+                                 jnp.where(ok_l, opos1, opos))
+                status = jnp.where(ok_end, 1, jnp.where(do_match, 0, 2))
             # r_a/r_b stores put the literal content through opos1 in
             # ovmem unconditionally on this path
             fl = jnp.maximum(fl, opos1)
@@ -640,7 +708,16 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
              jnp.zeros((1, 128), jnp.int32), jnp.int32(0)))
         # final flush of the partial row (pad row absorbs opos == N)
         ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
-        olen_ref[b] = jnp.where(status == 1, opos, ERR_MALFORMED)
+        if resumable:
+            # destSize contract: any clean stop (done / out of room /
+            # source exhausted at a token boundary) reports produced and
+            # consumed byte counts; only corruption reports -1
+            ok_row = status != 2
+            olen_ref[b] = jnp.where(ok_row, opos, ERR_MALFORMED)
+            cons_ref[b] = jnp.where(
+                ok_row, jnp.where(status == 1, n, ip), ERR_MALFORMED)
+        else:
+            olen_ref[b] = jnp.where(status == 1, opos, ERR_MALFORMED)
 
         if sg:
             # write the block's bytes to HBM shifted to its global byte
@@ -673,9 +750,9 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch"):
 
 
 @functools.partial(jax.jit, static_argnames=("M", "N", "P", "interpret",
-                                              "linked"))
+                                              "linked", "resumable"))
 def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
-                   linked=False):
+                   linked=False, resumable=False):
     B = comp.shape[0]
     MR, PR, NR = M // 128, P // 128, N // 128
     # val32 lanes: lane p = LE32 word at byte p (vector shifts of rolls)
@@ -685,6 +762,17 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
             | (jnp.roll(c, -2, axis=1) << 16)
             | (jnp.roll(c, -3, axis=1) << 24))
     pre = preparse_rows(vals)
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+    ]
+    if resumable:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B,), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
@@ -694,10 +782,7 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.SMEM((1, M), jnp.int32),
             pltpu.SMEM((1, M), jnp.int32),
@@ -710,17 +795,19 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    out, olen = pl.pallas_call(
-        _make_decode_kernel(M, N, P, "linked" if linked else "batch"),
+    res = pl.pallas_call(
+        _make_decode_kernel(M, N, P, "linked" if linked else "batch",
+                            resumable),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B,), jnp.int32),
-        ),
+        out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(clen, plen, ocap, vals.reshape(B, 1, M), pre.reshape(B, 1, M),
       vals.reshape(B, MR, 128), dict_rows)
+    if resumable:
+        out, olen, cons = res
+        return out.reshape(B, N), olen, cons
+    out, olen = res
     return out.reshape(B, N), olen
 
 
@@ -866,6 +953,47 @@ def decode_blocks(comp_bytes_i32: jax.Array, comp_lens: jax.Array,
                                dict_rows, dict_lens.astype(jnp.int32), ocap,
                                M=M, N=N, P=P, interpret=on_cpu())
     return out[:, :out_cap], olen
+
+
+def decode_blocks_dest_size(comp_bytes_i32: jax.Array,
+                            comp_lens: jax.Array,
+                            out_caps: jax.Array, out_cap_max: int,
+                            dict_rows: jax.Array | None = None,
+                            dict_lens: jax.Array | None = None):
+    """Batched resumable destSize decode (the fork's token-boundary
+    rewind, lz4.c:1161-1163, 1316-1319, on device): every row fills at
+    most ``out_caps[i]`` bytes and stops at a TOKEN BOUNDARY, reporting
+    both the bytes produced and the source bytes consumed.
+
+    Returns (out [B, out_cap_max], olen [B], cons [B]):
+      olen >= 0, cons == comp_lens[i]  -> row decoded fully
+      olen >= 0, cons <  comp_lens[i]  -> clean stop (out of room / src
+        boundary): resume by feeding comp[cons:] with the produced
+        bytes as the dictionary window
+      olen == cons == -1               -> corrupt input
+    """
+    B, M = comp_bytes_i32.shape
+    if M % 128:
+        pad = 128 - M % 128
+        comp_bytes_i32 = jnp.pad(comp_bytes_i32, ((0, 0), (0, pad)))
+        M += pad
+    N = -(-out_cap_max // 128) * 128
+    if dict_rows is None:
+        P = 0
+        dict_rows = jnp.zeros((B, 1, 128), jnp.int32)
+        dict_lens = jnp.zeros((B,), jnp.int32)
+    else:
+        P = dict_rows.shape[-1]
+        if P % 128:
+            pad = 128 - P % 128
+            dict_rows = jnp.pad(dict_rows, ((0, 0), (pad, 0)))
+            P += pad
+        dict_rows = dict_rows.reshape(B, P // 128, 128)
+    out, olen, cons = _decode_blocks(
+        comp_bytes_i32, comp_lens.astype(jnp.int32), dict_rows,
+        dict_lens.astype(jnp.int32), out_caps.astype(jnp.int32),
+        M=M, N=N, P=P, interpret=on_cpu(), resumable=True)
+    return out[:, :out_cap_max], olen, cons
 
 
 def decode_blocks_linked(comp_bytes_i32: jax.Array, comp_lens: jax.Array,

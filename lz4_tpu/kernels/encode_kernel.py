@@ -33,11 +33,18 @@ op count:
 * The match tail (<4 equal bytes) is computed branchlessly from the XOR
   of the mismatching words instead of a byte loop.
 * Sequence emission takes a straight-line fast path when both lengths fit
-  their token nibbles (the common case); length extensions branch out.
+  their token nibbles (the common case); length extensions branch out,
+  and literal copies move 16 bytes per loop iteration (the scan's cost
+  is while-loop iteration count, docs/SOL.md).
 * min_match mode (the decode-speed knob: fewer sequences, see bench.py)
-  pre-filters candidates with two word compares — a total length >= 11
-  needs forward >= 8 or backward >= 4 — before paying extension loops,
-  and ``reject_step`` bounds the rescan density of rejected regions.
+  pre-filters candidates on the VPU for ANY mm >= 6: XOR byte-run
+  counts between sort neighbours give exact forward/backward length
+  bounds, so provably-rejectable candidates never reach the scan (see
+  cand_delta_rows); ``reject_step`` bounds the rescan density of the
+  rejects that survive.
+* The linked path sorts [window | K blocks] TILES (ENC_TILE_BLOCKS)
+  instead of per-block [window | block] rows — bit-identical deltas at
+  (K+1)/K elements per byte instead of 2x.
 
 ``_hash5``/``hash_rows`` remain exported for the destSize/SG chain kernel
 (kernels/destsize_kernel.py), whose incremental cross-buffer walk still
@@ -68,9 +75,11 @@ SKIP_TRIGGER = 6
 MAX_BLOCK = 1 << POS_BITS
 
 # linked-path sort tiling: blocks per sorted tile (1 = per-block
-# [window|block] rows; >1 amortizes the window duplication; measured on
-# chip via LZ4TPU_ENC_TILE, see docs/SOL.md)
-ENC_TILE_BLOCKS = int(os.environ.get("LZ4TPU_ENC_TILE", "4"))
+# [window|block] rows; >1 amortizes the window duplication).  Chip sweep
+# at mm=8 on real text: K=1 47.4, 2 46.1, 4 46.0, 5 52.6, 6 53.3,
+# 7 53.1 MB/s — the dip below 5 is an XLA sort shape effect, not
+# tiling math; 6 is the measured knee (docs/SOL.md).
+ENC_TILE_BLOCKS = int(os.environ.get("LZ4TPU_ENC_TILE", "6"))
 
 
 @functools.partial(jax.jit, static_argnames=("row_bytes",))
