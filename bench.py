@@ -324,6 +324,12 @@ def main():
         "encode_mbs": round(enc_mbs, 1),
         "pipeline_decode_mbs": round(pipe_dec_mbs, 1),
         "pipeline_encode_mbs": round(pipe_enc_mbs, 1),
+        "pipeline_note": ("end-to-end incl. host<->device transfer; on "
+                          "this dev tunnel the link (~20MB/s class) "
+                          "dominates — transfers ride packed words "
+                          "(4x) and the linked windows are built "
+                          "on-device, but the content itself must "
+                          "cross once each way"),
         "ratio": round(ratio, 4),
         "block_ratio": round(float(block_ratio), 4),
         "block_ratio_indep": round(block_ratio_indep, 4),
