@@ -582,10 +582,13 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
 
             # flush both possibly-written rows so the match window sees
             # every byte < opos1, then rebase so the match's first
-            # destination lane is < 128
+            # destination lane is < 128.  (Gating these stores on the
+            # watermark to overlap the two rolls was measured SLOWER —
+            # the conditional regions still order the load and their
+            # branch cost exceeds the overlap win; docs/SOL.md.)
             r_a = (opos >> 7) + OUT0
-            ovmem[pl.ds(r_a, 1), :] = carry
             cross_l = cpos1 >= 128
+            ovmem[pl.ds(r_a, 1), :] = carry
 
             @pl.when(cross_l)
             def _():
