@@ -172,6 +172,18 @@ def main():
     encds()
     report("kernels.encode_dest_size (cap=n/2)", n, timeit(encds))
 
+    from lz4_tpu.kernels.decode_kernel import decode_blocks_dest_size
+
+    dhalf = jnp.asarray(np.full((len(chunks),), chunk // 2, np.int32))
+
+    def decds():
+        _, ol, cons = decode_blocks_dest_size(comp_d, clen_d, dhalf,
+                                              chunk // 2)
+        np.asarray(cons)
+    decds()
+    report("kernels.decode_dest_size (cap=n/2, resumable)", n // 2,
+           timeit(decds))
+
     from lz4_tpu.sg import sg_compress
 
     sg_ins = chunks
