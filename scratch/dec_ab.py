@@ -107,6 +107,65 @@ def main():
               f"slow={nseq-fast-mid} ({100*(nseq-fast-mid)/nseq:.1f}%) "
               f"bytes/seq={len(data)/nseq:.1f}", flush=True)
 
+        # pair-rate simulation: replay the kernel's fast-path pairing
+        # admission to see how many iterations retire two sequences
+        iters = pairs = 0
+        losses = {"next_not_fast": 0, "row": 0, "hazard": 0}
+        for blk, p in enumerate(payloads):
+            seqs = []
+            opos = 0
+            i, pn = 0, len(p)
+            while i < pn:
+                tok = p[i]; i += 1
+                ll = tok >> 4; lle = 0
+                if ll == 15:
+                    while True:
+                        b = p[i]; i += 1; ll += b; lle += 1
+                        if b != 255:
+                            break
+                i += ll
+                if i >= pn:
+                    seqs.append((opos, ll, 0, 0, True, lle, 0))
+                    break
+                off = p[i] | (p[i + 1] << 8); i += 2
+                ml = tok & 15; mle = 0
+                if ml == 15:
+                    while True:
+                        b = p[i]; i += 1; ml += b; mle += 1
+                        if b != 255:
+                            break
+                ml += 4
+                seqs.append((opos, ll, ml, off, False, lle, mle))
+                opos += ll + ml
+            k = 0
+            while k < len(seqs):
+                iters += 1
+                opos, ll, ml, off, end, lle, mle = seqs[k]
+                cpos = opos & 127
+                fast_k = (not end and lle <= 1 and mle <= 1
+                          and off >= ml and ll <= 12
+                          and cpos + ll + ml <= 123)
+                if fast_k and k + 1 < len(seqs):
+                    o2, ll2, ml2, off2, end2, lle2, mle2 = seqs[k + 1]
+                    c2 = o2 & 127
+                    f2 = (not end2 and lle2 <= 1 and mle2 <= 1
+                          and off2 >= ml2 and ll2 <= 12)
+                    if not f2:
+                        losses["next_not_fast"] += 1
+                    elif c2 + ll2 + ml2 > 123:
+                        losses["row"] += 1
+                    elif o2 + ll2 - off2 + ml2 > opos + ll:
+                        losses["hazard"] += 1
+                    else:
+                        pairs += 1
+                        k += 2
+                        continue
+                k += 1
+        print(f"pair sim: iters={iters} pairs={pairs} "
+              f"({100*pairs/max(iters,1):.1f}% of iterations are pairs; "
+              f"iter reduction {100*(nseq-iters)/nseq:.1f}%) "
+              f"losses={losses}", flush=True)
+
     rows, clens2_d = upload_byte_rows(arr), jnp.asarray(clens2)
     _, dlen = decode_blocks_linked(rows, clens2_d, BLOCK)
     dl = np.asarray(dlen)
