@@ -17,14 +17,17 @@ __version__ = "0.1.0"
 
 import os as _os
 
-if _os.environ.get("JAX_PLATFORMS"):
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
     # Some site customizations (e.g. the axon TPU plugin) re-select their
     # platform at interpreter startup even when the user exported
-    # JAX_PLATFORMS; re-assert the user's explicit choice before any
+    # JAX_PLATFORMS=cpu; re-assert the user's explicit choice before any
     # backend is initialized so a down/absent accelerator cannot hang a
-    # CPU-requested run.  No-op when jax already honors the env var.
+    # CPU-requested run.  Only the cpu case is re-asserted: naming an
+    # accelerator platform here can RACE its plugin registration (the
+    # config lookup then fails with "not in the list of known backends"
+    # and device paths silently fall back to host).
     import jax as _jax
 
-    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    _jax.config.update("jax_platforms", "cpu")
 
 from . import spec  # noqa: F401

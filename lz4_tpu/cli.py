@@ -84,7 +84,7 @@ def _timed_rate(fn, nbytes: int, iterations: int, min_seconds: float):
     processed / elapsed; best rate over ``iterations`` measurements.
     Returns (best_bytes_per_second, last_result)."""
     best = 0.0
-    result = None
+    result = fn()          # warm: jit compiles stay out of the windows
     for _ in range(max(1, iterations)):
         loops = 0
         t0 = time.perf_counter()
