@@ -21,6 +21,7 @@ import io
 import os
 import struct
 import sys
+import time
 from pathlib import Path
 from typing import BinaryIO, Optional
 
@@ -83,6 +84,47 @@ def _prefs_to_frame(p: IoPrefs, content_size: Optional[int]) -> FramePreferences
     )
 
 
+class ProgressMeter:
+    """150 ms-throttled stderr progress display (parity: DISPLAYUPDATE,
+    lz4io.c:123-128): shown at default verbosity (>=2) once more than
+    16 MB has been processed, refreshed at most every 150 ms, erased by
+    ``done()``.  Streams of unknown size show MB processed; known sizes
+    add the ratio so far, like LZ4IO_compressFilename_extRess's meter."""
+
+    INTERVAL = 0.150
+    MIN_BYTES = 16 * 1024 * 1024
+
+    def __init__(self, prefs: IoPrefs, verb: str,
+                 total: Optional[int] = None):
+        self.enabled = prefs.verbosity >= 2
+        self.verb = verb
+        self.total = total
+        self.next_at = time.monotonic() + self.INTERVAL
+        self.shown = False
+
+    def update(self, processed: int, produced: int) -> None:
+        if not self.enabled or processed < self.MIN_BYTES:
+            return
+        now = time.monotonic()
+        if now < self.next_at:
+            return
+        self.next_at = now + self.INTERVAL
+        msg = f"\r{self.verb} : {processed >> 20} MB"
+        if self.total:
+            msg += f" ({100.0 * processed / self.total:.1f}%)"
+        if produced and processed:
+            msg += f"  ==> {100.0 * produced / processed:.2f}%"
+        sys.stderr.write(msg + "   ")
+        sys.stderr.flush()
+        self.shown = True
+
+    def done(self) -> None:
+        if self.shown:
+            sys.stderr.write("\r" + " " * 60 + "\r")
+            sys.stderr.flush()
+            self.shown = False
+
+
 # ---------------------------------------------------------------------------
 # compression
 # ---------------------------------------------------------------------------
@@ -139,6 +181,7 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, prefs: IoPrefs,
             header = comp.begin()
             dst.write(header)
             total_in, total_out = 0, len(header)
+            meter = ProgressMeter(prefs, "Read", src_size)
             while True:
                 chunk = src.read(CHUNK)
                 if not chunk:
@@ -147,8 +190,10 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, prefs: IoPrefs,
                 out = comp.update(chunk)
                 total_out += len(out)
                 dst.write(out)
+                meter.update(total_in, total_out)
             tail = comp.end()
             dst.write(tail)
+            meter.done()
             return total_in, total_out + len(tail)
         # block-independent frames chunk trivially (no window carry):
         # each 4MB read batches its 64KB blocks over the grid
@@ -161,6 +206,7 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, prefs: IoPrefs,
         dst.write(header)
         total_in, total_out = 0, len(header)
         xxh = XXH32State(0)
+        meter = ProgressMeter(prefs, "Read", src_size)
         while True:
             chunk = src.read(CHUNK)
             if not chunk:
@@ -189,10 +235,12 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, prefs: IoPrefs,
             out = b"".join(parts)
             total_out += len(out)
             dst.write(out)
+            meter.update(total_in, total_out)
         tail = struct.pack("<I", 0)
         if fp.content_checksum:
             tail += struct.pack("<I", xxh.digest())
         dst.write(tail)
+        meter.done()
         return total_in, total_out + len(tail)
 
     fp = _prefs_to_frame(prefs, src_size if prefs.content_size else None)
@@ -201,6 +249,7 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, prefs: IoPrefs,
     dst.write(header)
     total_in = 0
     total_out = len(header)
+    meter = ProgressMeter(prefs, "Read", src_size)
     while True:
         chunk = src.read(CHUNK)
         if not chunk:
@@ -209,8 +258,10 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, prefs: IoPrefs,
         out = comp.update(chunk)
         total_out += len(out)
         dst.write(out)
+        meter.update(total_in, total_out)
     tail = comp.end()
     dst.write(tail)
+    meter.done()
     return total_in, total_out + len(tail)
 
 
@@ -270,6 +321,7 @@ def decompress_stream(src: BinaryIO, dst, prefs: IoPrefs) -> tuple[int, int]:
     if use_device is None:
         use_device = _device_available()
     first = True
+    meter = ProgressMeter(prefs, "Decoded", None)
     while pos < len(buf):
         if len(buf) - pos < 4:
             if first and prefs.pass_through:
@@ -315,6 +367,8 @@ def decompress_stream(src: BinaryIO, dst, prefs: IoPrefs) -> tuple[int, int]:
             else:
                 break
         first = False
+        meter.update(total_out, 0)
+    meter.done()
     total_in = pos
     return total_in, total_out
 

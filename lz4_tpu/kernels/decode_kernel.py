@@ -56,9 +56,16 @@ ERR_MALFORMED = -1
 # Timing-ablation hooks (scratch/dec_ab.py): the parse trajectory reads
 # only the compressed stream, so replacing/removing the byte-movement ops
 # yields wrong OUTPUT BYTES but an identical instruction trace — a valid
-# differential timing of each component.  Never set in production.
+# differential timing of each component.  Never set in production: the
+# hook is refused unless LZ4TPU_DEBUG=1 also set, so a stray env var in a
+# deployment cannot silently corrupt decodes.
 _ABLATE = frozenset(
     os.environ.get("LZ4TPU_DEC_ABLATE", "").split(",")) - {""}
+if _ABLATE and os.environ.get("LZ4TPU_DEBUG") != "1":
+    raise RuntimeError(
+        "LZ4TPU_DEC_ABLATE produces deliberately WRONG output bytes and is "
+        "a timing instrument only; refusing to honor it without "
+        "LZ4TPU_DEBUG=1 (unset LZ4TPU_DEC_ABLATE to decode normally)")
 
 # how many EXTRA sequences the fast path tries to retire per loop
 # iteration (see fast_seq: the loop body has an ~80ns/iteration floor and
@@ -969,11 +976,22 @@ def decode_blocks_dest_size(comp_bytes_i32: jax.Array,
     both the bytes produced and the source bytes consumed.
 
     Returns (out [B, out_cap_max], olen [B], cons [B]):
-      olen >= 0, cons == comp_lens[i]  -> row decoded fully
-      olen >= 0, cons <  comp_lens[i]  -> clean stop (out of room / src
-        boundary): resume by feeding comp[cons:] with the produced
-        bytes as the dictionary window
-      olen == cons == -1               -> corrupt input
+      olen >= 0, cons == comp_lens[i]  -> consumed to the end of the
+        source AT A TOKEN BOUNDARY.  This usually means "decoded fully",
+        but a malformed block that ends exactly after a match (no
+        terminal literal-only sequence) also lands here: the caller must
+        validate olen against the expected decoded size, exactly as
+        lz4sg.c does with its exact block extents (plain decode_blocks
+        reports -1 for the same bytes because it requires the terminal
+        literal sequence).
+      olen >= 0, cons <  comp_lens[i]  -> clean stop (out of output
+        room): resume by feeding comp[cons:] with the produced bytes as
+        the dictionary window
+      olen == cons == -1               -> corrupt input.  NOTE unlike the
+        host decompress_block_dest_size, mid-sequence SOURCE truncation
+        is reported here as corruption, not rewound: the device variant
+        resumes across output exhaustion only, matching how lz4sg.c uses
+        the contract (whole-block payloads, room-limited outputs).
     """
     B, M = comp_bytes_i32.shape
     if M % 128:
@@ -1286,9 +1304,14 @@ def _make_stream_decode_kernel(linked: bool):
             # PAIRED like the batch kernel's fast path (docs/SOL.md): the
             # next sequence is parsed too and retired in the same
             # iteration when it is fast-class, row-local, and its match
-            # source stays below this sequence's match output.  All its
-            # bytes are resident: the refill guard keeps ip+272 loaded
-            # and the pair envelope ends well before ip+80.
+            # source stays below this sequence's match output.  Residency:
+            # the refill guard keeps [ip, ip+272) loaded.  When B's token
+            # has a literal-extension nibble, sval(mposb) can address up
+            # to ~ip+290 — PAST that guarantee — and may read stale ring
+            # bytes; that read is safe only because `pair` requires
+            # llb <= 12, which is impossible when hasb is set, so the
+            # stale value is provably discarded.  Do not widen the pair
+            # admission past llb <= 12 without extending the refill guard.
             ip1 = lit_ip
             ipm = ip1 + ll
             opos1 = opos + ll

@@ -80,6 +80,13 @@ MAX_BLOCK = 1 << POS_BITS
 # 7 53.1 MB/s — the dip below 5 is an XLA sort shape effect, not
 # tiling math; 6 is the measured knee (docs/SOL.md).
 ENC_TILE_BLOCKS = int(os.environ.get("LZ4TPU_ENC_TILE", "6"))
+# cand_delta_rows packs positions into POS_BITS+1-bit fields, so a sorted
+# tile may not exceed 2^19 lanes: WINDOW (64KB) + K*64KB <= 1<<19 => K<=7.
+if not 1 <= ENC_TILE_BLOCKS <= 7:
+    raise ValueError(
+        f"LZ4TPU_ENC_TILE={ENC_TILE_BLOCKS} out of range: tile width "
+        "window+K*64KB must stay within the kernel's 2^19-lane position "
+        "packing, so K must be in 1..7")
 
 
 @functools.partial(jax.jit, static_argnames=("row_bytes",))
