@@ -76,6 +76,12 @@ if _ABLATE and os.environ.get("LZ4TPU_DEBUG") != "1":
 # cost is always paid) — so the default is 1.
 PAIR_LANES = int(os.environ.get("LZ4TPU_DEC_PAIR_LANES", "1"))
 
+# pair lanes admit long literal runs (one 3-row input roll per lane
+# instead of the 12-byte broadcast injection).  Policy replay over the
+# mm=8 corpus (scratch/pair_sim.py): converts most of the
+# next-not-fast pair losses; rolls pipeline within the iteration.
+LANE_LONGLIT = os.environ.get("LZ4TPU_DEC_LANE_LONGLIT", "0") == "1"
+
 
 @jax.jit
 def preparse_rows(vals: jax.Array) -> jax.Array:
@@ -120,18 +126,20 @@ def _make_lit12(sval, merge, lane):
     not scalar op count, is this kernel's critical path (round-4
     measurement, docs/SOL.md).
 
-    Returns ``lit12(carry, lit_ip, cpos, ll, two_rows)`` producing the
-    (row1, row2) carries; with ``two_rows=False`` the second row's
-    merge is skipped (row-local fast path).  The call sites of both
-    decode kernels must agree on this arithmetic, which is why it lives
-    in one place.
+    Returns ``lit12(carry, lit_ip, cpos, ll, two_rows, carry2)``
+    producing the (row1, row2) carries; with ``two_rows=False`` the
+    second row's merge is skipped (row-local fast path); ``carry2`` is
+    the register the second row merges into (default: a zero row).  The
+    call sites of both decode kernels must agree on this arithmetic,
+    which is why it lives in one place.
     """
     ZERO = jnp.zeros((1, 128), jnp.int32)
 
     if "nolit12" in _ABLATE:
-        return lambda carry, lit_ip, cpos, ll, two_rows: (carry, ZERO)
+        return lambda carry, lit_ip, cpos, ll, two_rows, carry2=None: \
+            (carry, ZERO if carry2 is None else carry2)
 
-    def lit12(carry, lit_ip, cpos, ll, two_rows):
+    def lit12(carry, lit_ip, cpos, ll, two_rows, carry2=None):
         w0 = sval(lit_ip)
         wa = sval(lit_ip + 4)
         wb = sval(lit_ip + 8)
@@ -142,9 +150,10 @@ def _make_lit12(sval, merge, lane):
             sh = (d & 3) * 8
             return (w >> sh) & 0xFF
 
+        base2 = ZERO if carry2 is None else carry2
         c1 = merge(carry, litvec(cpos), cpos, ll)
-        c2 = merge(ZERO, litvec(cpos - 128), cpos - 128, ll) \
-            if two_rows else ZERO
+        c2 = merge(base2, litvec(cpos - 128), cpos - 128, ll) \
+            if two_rows else base2
         return c1, c2
 
     return lit12
@@ -407,29 +416,54 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
                     status.astype(jnp.int32), carry, fl)
 
         # ------------------------------------------------------------------
-        # fast path: no extensions, fits in the current output row, match
-        # offset >= match length.  Straight-line; merges run before the
-        # validity checks (all addresses clamped, results discarded on -1).
+        # unified fast path (round 5): handles every sequence with at most
+        # ONE literal- and ONE match-extension byte, no overlap doubling
+        # (offset >= mlen), and an output envelope within TWO rows
+        # (tot <= 251) — the union of round-4's fast and mid classes.  Two
+        # carry registers absorb the row crossing: ``carry`` is the row at
+        # opos>>7 and ``c2`` its successor, built fresh each iteration (no
+        # valid byte can live in row R+1 across iterations, since opos is
+        # in row R).  Rows are stored ONCE — when completed, or early by
+        # the watermark flush when a match source reads them — instead of
+        # the old mid path's two unconditional stores per sequence.
         #
-        # PAIRED (round 4): the loop body has an ~80ns/iteration floor on
-        # this core, and a SECOND independent window roll in the same
-        # iteration is essentially free (rolls pipeline; measured,
-        # scratch/probe_roll2.py / docs/SOL.md) — so the fast path also
-        # parses the NEXT sequence and, when it also qualifies (fast
-        # class, same output row, and its match source stays below this
-        # sequence's match output), retires BOTH in one iteration.  The
-        # second sequence's effects are branchless: its merges run with
-        # take=0 when the pair is disarmed.
+        # PAIRED: the loop body has an ~80ns/iteration floor on this core
+        # and additional same-iteration rolls are nearly free (measured,
+        # scratch/probe_roll2.py / docs/SOL.md), so the next PAIR_LANES
+        # sequences are parsed too and retired in the same iteration when
+        # they are fast-class (<=12 literals), fit the same two-row
+        # budget, and their match sources stay below lane A's literal end.
+        # The round-4 row budget was 123 (no crossing): widening it to 251
+        # converts the dominant pair-loss bucket (row budget, 8.2% of
+        # iterations) and the whole mid class (22.8% of sequences) into
+        # pairable fast work.
         # ------------------------------------------------------------------
 
-        def fast_seq(ip, opos, carry, fl, ll, lit_ip, mlb, cpos,
-                     mlen, offset, ip_adv):
-            # mlen/offset/ip_adv precomputed by seq_body; ll <= 12 here
-            # implies no literal extension, so lit_ip = ip + 1
+        def win2rows(ref, src, base_lane, hi):
+            """Two stacked [1,128] views (v1, v2) of ``ref`` such that
+            merging v1 at base_lane and v2 at base_lane-128 lays bytes
+            src, src+1, ... at lanes base_lane, base_lane+1, ... of the
+            two-row frame, for any base_lane in [0, 251]: one dynamic
+            3-row load + one roll, off the carry chain."""
+            sh = jnp.where(base_lane >= 128, 128, 0)
+            a = jnp.clip(src - (base_lane - sh), -128, hi)
+            sl = a & 127
+            w = ref[pl.ds((a >> 7) + 1, 3), :]
+            rot = w if "noroll" in _ABLATE else \
+                pltpu.roll(w, -sl, axis=1)
+            u1 = jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
+            u2 = jnp.where(lane < 128 - sl, rot[1:2], rot[2:3])
+            v2 = jnp.where(sh == 128, u1, u2)
+            return u1, v2
+
+        def fm_seq(ip, opos, carry, fl, ll, lit_ip, mlb, cpos,
+                   mlen, offset, ip_adv):
+            # mlen/offset/ip_adv precomputed by seq_body (<=1 ext byte
+            # each, guaranteed by the admission mask)
             ip1 = lit_ip
             ipm = ip1 + ll          # match header position (== mpos)
             opos1 = opos + ll
-            cpos1 = cpos + ll
+            cpos1 = cpos + ll       # may be >= 128 (one crossing allowed)
             opos2 = opos1 + mlen
 
             ended = ipm == n
@@ -442,9 +476,9 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
 
             # ---- extra lanes: parse the next K sequences, chained ----
             # Lane x joins the iteration iff every earlier lane joined,
-            # it is fast-class, its whole output stays in this row, and
-            # its match source stays below lane A's match output (it may
-            # read A's literals — the single flush below includes them).
+            # it is fast-class, its whole output fits the two-row budget,
+            # and its match source stays below lane A's literal end (it
+            # may read A's literals — the flush below includes them).
             lanes = []
             prev_ok = do_match
             ip_cur, opos_cur, cpos_cur = ip_adv, opos2, cpos1 + mlen
@@ -466,10 +500,12 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
                 ok_ex = jnp.logical_and(
                     (p1x >> 25) != 0,
                     jnp.logical_or(is_extx == 0, extbx != 255))
+                lane_lit_ok = jnp.bool_(True) if LANE_LONGLIT \
+                    else (llx <= 12)
                 px = jnp.logical_and(
                     jnp.logical_and(prev_ok,
                                     jnp.logical_and(ok_ex, offx >= mlenx)),
-                    jnp.logical_and(llx <= 12, cposx1 + mlenx <= 123))
+                    jnp.logical_and(lane_lit_ok, cposx1 + mlenx <= 251))
                 px = jnp.logical_and(px, mposx != n)
                 px = jnp.logical_and(px, ip_advx <= n)
                 px = jnp.logical_and(px, oposx2 <= olim)
@@ -481,14 +517,16 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
                 prev_ok = px
                 ip_cur, opos_cur, cpos_cur = ip_advx, oposx2, cposx1 + mlenx
 
-            # literal injection, branchless (shared arithmetic: _make_lit12)
-            carry, _ = lit12(carry, ip1, cpos, ll, two_rows=False)
+            # lane A literals: one 3-row input-window roll covers any run
+            # up to 247 bytes across both destination rows (the roll is
+            # off the carry chain and pipelines with the match rolls)
+            lv1, lv2 = win2rows(cvmem, lit_ip, cpos, 128 * MR)
+            carry = merge(carry, lv1, cpos, ll)
+            c2 = merge(ZERO, lv2, cpos - 128, ll)
 
-            # watermark-gated flush: ovmem's current row is stale only in
-            # [fl, opos1) (fast sequences are row-local and every other
-            # path flushes its rows), so the store — and the store->load
-            # serialization it forces on the window reads — is needed
-            # only when a match source reaches past fl (docs/SOL.md)
+            # watermark-gated flush: ovmem is stale in [fl, opos1), so the
+            # store — and the store->load serialization it forces on the
+            # window reads — runs only when a match source reaches past fl
             need = opos1 - offset + mlen > fl
             for (px, _, _, _, oposx1, offx, mlenx, _, _, _) in lanes:
                 need = jnp.logical_or(need, jnp.logical_and(
@@ -497,20 +535,32 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
                 @pl.when(need)
                 def _():
                     ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
+
+                @pl.when(jnp.logical_and(need, cpos1 > 128))
+                def _():
+                    ovmem[pl.ds((opos >> 7) + 1 + OUT0, 1), :] = c2
             fl = jnp.where(need, opos1, fl)
 
-            a = jnp.clip(opos1 - offset + OBASE - cpos1,
-                         -128, 128 * (PR + NR - 1))
-            v = window(ovmem, a)
-            carry = merge(carry, v, cpos1, jnp.where(do_match, mlen, 0))
+            v1, v2 = win2rows(ovmem, opos1 - offset + OBASE, cpos1,
+                              128 * (PR + NR - 1))
+            mtake = jnp.where(do_match, mlen, 0)
+            carry = merge(carry, v1, cpos1, mtake)
+            c2 = merge(c2, v2, cpos1 - 128, mtake)
             for (px, lit_ipx, llx, cposx, oposx1, offx, mlenx, cposx1,
                  _, _) in lanes:
-                ax = jnp.clip(oposx1 - offx + OBASE - cposx1,
-                              -128, 128 * (PR + NR - 1))
-                vx = window(ovmem, ax)
-                carry, _ = lit12(carry, lit_ipx, cposx,
-                                 jnp.where(px, llx, 0), two_rows=False)
-                carry = merge(carry, vx, cposx1, jnp.where(px, mlenx, 0))
+                vx1, vx2 = win2rows(ovmem, oposx1 - offx + OBASE, cposx1,
+                                    128 * (PR + NR - 1))
+                ltx = jnp.where(px, llx, 0)
+                if LANE_LONGLIT:
+                    lvx1, lvx2 = win2rows(cvmem, lit_ipx, cposx, 128 * MR)
+                    carry = merge(carry, lvx1, cposx, ltx)
+                    c2 = merge(c2, lvx2, cposx - 128, ltx)
+                else:
+                    carry, c2 = lit12(carry, lit_ipx, cposx, ltx,
+                                      two_rows=True, carry2=c2)
+                mtx = jnp.where(px, mlenx, 0)
+                carry = merge(carry, vx1, cposx1, mtx)
+                c2 = merge(c2, vx2, cposx1 - 128, mtx)
 
             ok_end = jnp.logical_and(ended, ok_l)
             if resumable:
@@ -525,144 +575,31 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
                                     jnp.logical_not(v_m)))
                 ip = jnp.where(do_match, ip_adv,
                                jnp.where(ok_end, ipm, ip))
-                opos = jnp.where(do_match, opos2,
-                                 jnp.where(ok_end, opos1, opos))
+                opos_n = jnp.where(do_match, opos2,
+                                   jnp.where(ok_end, opos1, opos))
                 status = jnp.where(ok_end, 1,
                                    jnp.where(do_match, 0,
                                              jnp.where(hard, 2, 3)))
             else:
                 ip = jnp.where(do_match, ip_adv, ipm)
-                opos = jnp.where(do_match, opos2,
-                                 jnp.where(ok_l, opos1, opos))
+                opos_n = jnp.where(do_match, opos2,
+                                   jnp.where(ok_l, opos1, opos))
                 status = jnp.where(ok_end, 1, jnp.where(do_match, 0, 2))
             for (px, _, _, _, _, _, _, _, ip_advx, oposx2) in lanes:
                 ip = jnp.where(px, ip_advx, ip)
-                opos = jnp.where(px, oposx2, opos)
-            return (ip.astype(jnp.int32), opos.astype(jnp.int32),
-                    status.astype(jnp.int32), carry, fl)
+                opos_n = jnp.where(px, oposx2, opos_n)
 
-        # --------------------------------------------------------------
-        # mid path: like fast_seq but the sequence's output may cross ONE
-        # 128-byte row boundary (total <= 251 bytes) and the literal run
-        # may be LONG (up to 247 bytes, one extension byte).  Corpus
-        # measurement (scratch/mmstudy.py): at min_match >= 12 the
-        # dominant general-path class is ordinary sequences with 13-63
-        # literals — rejected-match regions — which cost ~3x here via the
-        # per-chunk loops.  One [3,128] roll of the INPUT window covers
-        # the whole literal run across both destination rows, and one
-        # [3,128] roll of the output window covers the match (rolls cost
-        # flat at any shape, cost model in docs/ARCHITECTURE.md).
-        # --------------------------------------------------------------
+            # row completion: at most one row can complete per iteration
+            # (envelope <= 251 bytes); store it and promote c2 to carry
+            crossed = (opos_n >> 7) > (opos >> 7)
 
-        def mid_seq(ip, opos, carry, fl, ll, lit_ip, mlb, cpos,
-                    mlen, offset, ip_adv):
-            ipm = lit_ip + ll
-            opos1 = opos + ll
-            cpos1 = cpos + ll        # <= 247 (tot <= 251, mlen >= 4)
-            opos2 = opos1 + mlen
-
-            def lit_broadcast(carry):
-                # ll <= 12: broadcast injection — no roll (rolls don't
-                # hide under scalar, cost model); shared _make_lit12
-                return lit12(carry, lit_ip, cpos, ll, two_rows=True)
-
-            def lit_roll(carry):
-                # long run (13..247 bytes): one 3-row input-window roll
-                # covers both destination rows
-                a_l = jnp.clip(lit_ip - cpos, -128, 128 * MR)
-                f_l = a_l >> 7
-                sl_l = a_l & 127
-                w_l = cvmem[pl.ds(f_l + 1, 3), :]
-                rot_l = w_l if "noroll" in _ABLATE else \
-                    pltpu.roll(w_l, -sl_l, axis=1)
-                lv1 = jnp.where(lane < 128 - sl_l, rot_l[0:1], rot_l[1:2])
-                lv2 = jnp.where(lane < 128 - sl_l, rot_l[1:2], rot_l[2:3])
-                return (merge(carry, lv1, cpos, ll),
-                        merge(ZERO, lv2, cpos - 128, ll))
-
-            carry, carry2 = lax.cond(ll <= 12, lit_broadcast, lit_roll,
-                                     carry)
-            carry_tok = carry   # == the value stored at r_a (rewinds)
-
-            ended = ipm == n
-            ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
-
-            # flush both possibly-written rows so the match window sees
-            # every byte < opos1, then rebase so the match's first
-            # destination lane is < 128.  (Gating these stores on the
-            # watermark to overlap the two rolls was measured SLOWER —
-            # the conditional regions still order the load and their
-            # branch cost exceeds the overlap win; docs/SOL.md.)
-            r_a = (opos >> 7) + OUT0
-            cross_l = cpos1 >= 128
-            ovmem[pl.ds(r_a, 1), :] = carry
-
-            @pl.when(cross_l)
-            def _():
-                ovmem[pl.ds(r_a + 1, 1), :] = carry2
-
-            c = cpos1 - jnp.where(cross_l, 128, 0)
-            r1 = r_a + jnp.where(cross_l, 1, 0)
-            carry = jnp.where(cross_l, carry2, carry)
-            carry2 = jnp.where(cross_l, ZERO, carry2)
-
-            a = jnp.clip(opos1 - offset + OBASE - c,
-                         -128, 128 * (PR + NR - 1))
-            f = a >> 7
-            sl = a & 127
-            w = ovmem[pl.ds(f + 1, 3), :]
-            rot = w if "noroll" in _ABLATE else \
-                pltpu.roll(w, -sl, axis=1)
-            v1 = jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
-            v2 = jnp.where(lane < 128 - sl, rot[1:2], rot[2:3])
-            mcarry = merge(carry, v1, c, mlen)
-            mcarry2 = merge(carry2, v2, c - 128, mlen)
-
-            ok_m = jnp.logical_and(
-                jnp.logical_and(ok_l, ip_adv <= n),
-                jnp.logical_and(offset > 0, offset <= opos1 + plen))
-            ok_m = jnp.logical_and(ok_m, opos2 <= olim)
-
-            do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
-            cross_m = jnp.logical_and(do_match, c + mlen >= 128)
-
-            @pl.when(cross_m)
-            def _():
-                ovmem[pl.ds(r1, 1), :] = mcarry
-
-            ok_end = jnp.logical_and(ended, ok_l)
-            if resumable:
-                # token-boundary rewind: restore the carry that matches
-                # the already-stored token row (carry_tok went to r_a)
-                v_m = jnp.logical_and(
-                    ip_adv <= n,
-                    jnp.logical_and(offset > 0, offset <= opos1 + plen))
-                hard = jnp.logical_or(
-                    ipm > n,
-                    jnp.logical_and(jnp.logical_not(ended),
-                                    jnp.logical_not(v_m)))
-                carry = jnp.where(
-                    cross_m, mcarry2,
-                    jnp.where(do_match, mcarry,
-                              jnp.where(ok_end, carry, carry_tok)))
-                ip = jnp.where(do_match, ip_adv,
-                               jnp.where(ok_end, ipm, ip))
-                opos = jnp.where(do_match, opos2,
-                                 jnp.where(ok_end, opos1, opos))
-                status = jnp.where(ok_end, 1,
-                                   jnp.where(do_match, 0,
-                                             jnp.where(hard, 2, 3)))
-            else:
-                carry = jnp.where(cross_m, mcarry2,
-                                  jnp.where(do_match, mcarry, carry))
-                ip = jnp.where(do_match, ip_adv, ipm)
-                opos = jnp.where(do_match, opos2,
-                                 jnp.where(ok_l, opos1, opos))
-                status = jnp.where(ok_end, 1, jnp.where(do_match, 0, 2))
-            # r_a/r_b stores put the literal content through opos1 in
-            # ovmem unconditionally on this path
-            fl = jnp.maximum(fl, opos1)
-            return (ip.astype(jnp.int32), opos.astype(jnp.int32),
+            if "nocross" not in _ABLATE:
+                @pl.when(crossed)
+                def _():
+                    ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
+            carry = jnp.where(crossed, c2, carry)
+            fl = jnp.maximum(fl, jnp.where(crossed, opos_n & ~127, 0))
+            return (ip.astype(jnp.int32), opos_n.astype(jnp.int32),
                     status.astype(jnp.int32), carry, fl)
 
         def seq_body(state):
@@ -683,29 +620,20 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             ip_adv = mpos + 2 + is_ext
             lit_ip = mpos - ll
             cpos = opos & 127
-            # fast/mid iff: at most ONE literal- and ONE match-extension
-            # byte, and match offset >= mlen (no overlap doubling); fast
-            # additionally requires literals <= 12 (broadcast-injectable)
-            # and no row crossing (strict, so the carry never flushes on
-            # fill); mid allows one crossing (total <= 251 bytes) and any
-            # literal run that fits it (the dominant rejected-match class
-            # at min_match >= 12, scratch/mmstudy.py)
+            # unified-fast iff: at most ONE literal- and ONE match-
+            # extension byte, match offset >= mlen (no overlap doubling),
+            # and output envelope within two rows (tot <= 251; covers
+            # literal runs up to 247 bytes via the 3-row input roll).
+            # Everything else — longer extension chains, overlapping
+            # matches, >251-byte envelopes — takes the general path.
             ok_ext = jnp.logical_and(
                 (p1 >> 25) != 0,
                 jnp.logical_or(is_ext == 0, extb != 255))
             base_ok = jnp.logical_and(ok_ext, offset >= mlen)
             tot = cpos + ll + mlen
-            fast = jnp.logical_and(jnp.logical_and(base_ok, ll <= 12),
-                                   tot <= 123)
-            midc = jnp.logical_and(base_ok, tot <= 251)
+            fm = jnp.logical_and(base_ok, tot <= 251)
 
-            def not_fast(ip, opos, carry, fl, ll, lit_ip, mlb,
-                         cpos, mlen, offset, ip_adv):
-                return lax.cond(midc, mid_seq, slow_seq,
-                                ip, opos, carry, fl, ll, lit_ip,
-                                mlb, cpos, mlen, offset, ip_adv)
-
-            return lax.cond(fast, fast_seq, not_fast,
+            return lax.cond(fm, fm_seq, slow_seq,
                             ip, opos, carry, fl, ll, lit_ip, mlb,
                             cpos, mlen, offset, ip_adv)
 

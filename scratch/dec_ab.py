@@ -58,6 +58,14 @@ def main():
           f"ratio={clen_np.sum() / len(data):.4f}", flush=True)
     outb = fetch_byte_rows(comp[0])
     payloads = [outb[k, :clen_np[k]].tobytes() for k in range(nb)]
+    dump = os.environ.get("LZ4TPU_AB_DUMP")
+    if dump:
+        # persist the encoded payloads so host-side policy sims
+        # (scratch/pair_sim.py) can replay them without TPU time
+        np.savez(dump, nb=nb, block=BLOCK, total=len(data),
+                 **{f"p{k}": np.frombuffer(p, np.uint8)
+                    for k, p in enumerate(payloads)})
+        print(f"payloads dumped to {dump}", flush=True)
     M = -(-max(map(len, payloads)) // 128) * 128
     arr = np.zeros((nb, M), np.uint8)
     clens2 = np.zeros((nb,), np.int32)
