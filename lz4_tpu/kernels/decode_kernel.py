@@ -205,10 +205,14 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             # chain mode: the window is the previous block's full output
             # (LZ4F linked frames emit full blocks except the last, so a
             # partial predecessor simply yields an empty window and the
-            # block fails cleanly if it references it)
+            # block fails cleanly if it references it).  Block 0 may seed
+            # an INITIAL window (plen_ref[0] bytes, right-aligned in
+            # dict_hbm[0]) so a long chain can be decoded in pipelined
+            # groups with the window handed from group to group.
             prev_full = jnp.logical_and(
                 b > 0, olen_ref[jnp.maximum(b - 1, 0)] == N)
-            plen = jnp.where(prev_full, P, 0)
+            plen = jnp.where(b == 0, plen_ref[0],
+                             jnp.where(prev_full, P, 0))
         elif sg:
             # plen_ref carries the cumulative output offset per block;
             # the continuous HBM space has a 512-row (64 KB) zero lead
@@ -233,6 +237,14 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             @pl.when(b > 0)
             def _():
                 cp_d = pltpu.make_async_copy(out_hbm.at[b - 1],
+                                             ovmem.at[pl.ds(1, PR), :],
+                                             sem_d)
+                cp_d.start()
+                cp_d.wait()
+
+            @pl.when(jnp.logical_and(b == 0, plen_ref[0] > 0))
+            def _():
+                cp_d = pltpu.make_async_copy(dict_hbm.at[0],
                                              ovmem.at[pl.ds(1, PR), :],
                                              sem_d)
                 cp_d.start()
@@ -517,16 +529,27 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
                 prev_ok = px
                 ip_cur, opos_cur, cpos_cur = ip_advx, oposx2, cposx1 + mlenx
 
-            # lane A literals: one 3-row input-window roll covers any run
-            # up to 247 bytes across both destination rows (the roll is
-            # off the carry chain and pipelines with the match rolls)
-            lv1, lv2 = win2rows(cvmem, lit_ip, cpos, 128 * MR)
-            carry = merge(carry, lv1, cpos, ll)
-            c2 = merge(ZERO, lv2, cpos - 128, ll)
+            # lane A literals: broadcast injection for runs <= 12 (the
+            # overwhelmingly common case — no roll, no load); one 3-row
+            # input-window roll for long runs up to 247 bytes across both
+            # destination rows (rolled-ROW count is the measured issue
+            # cost unit, so the common path must not pay the 3-row roll)
+            def lit_broadcast(carry):
+                return lit12(carry, lit_ip, cpos, ll, two_rows=True)
 
-            # watermark-gated flush: ovmem is stale in [fl, opos1), so the
-            # store — and the store->load serialization it forces on the
-            # window reads — runs only when a match source reaches past fl
+            def lit_roll(carry):
+                lv1, lv2 = win2rows(cvmem, lit_ip, cpos, 128 * MR)
+                return (merge(carry, lv1, cpos, ll),
+                        merge(ZERO, lv2, cpos - 128, ll))
+
+            carry, c2 = lax.cond(ll <= 12, lit_broadcast, lit_roll, carry)
+
+            # watermark-gated flush, ONE region, one 2-row store: ovmem
+            # is stale in [fl, opos1), so the store — and the
+            # store->load serialization it forces on the window reads —
+            # runs only when a match source reaches past fl.  (Round-5
+            # measurement: splitting this into two conditional regions
+            # cost ~65ns/iteration in this body.)
             need = opos1 - offset + mlen > fl
             for (px, _, _, _, oposx1, offx, mlenx, _, _, _) in lanes:
                 need = jnp.logical_or(need, jnp.logical_and(
@@ -534,11 +557,8 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             if "noflush" not in _ABLATE:
                 @pl.when(need)
                 def _():
-                    ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
-
-                @pl.when(jnp.logical_and(need, cpos1 > 128))
-                def _():
-                    ovmem[pl.ds((opos >> 7) + 1 + OUT0, 1), :] = c2
+                    ovmem[pl.ds((opos >> 7) + OUT0, 2), :] = \
+                        jnp.concatenate([carry, c2], axis=0)
             fl = jnp.where(need, opos1, fl)
 
             v1, v2 = win2rows(ovmem, opos1 - offset + OBASE, cpos1,
@@ -598,7 +618,9 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
                 def _():
                     ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
             carry = jnp.where(crossed, c2, carry)
-            fl = jnp.maximum(fl, jnp.where(crossed, opos_n & ~127, 0))
+            # fl (the slow path's flushed watermark) passes through: fm
+            # serves all still-unflushed bytes from the register snapshot,
+            # so it neither reads nor advances the watermark
             return (ip.astype(jnp.int32), opos_n.astype(jnp.int32),
                     status.astype(jnp.int32), carry, fl)
 
@@ -946,7 +968,8 @@ def decode_blocks_dest_size(comp_bytes_i32: jax.Array,
 
 
 def decode_blocks_linked(comp_bytes_i32: jax.Array, comp_lens: jax.Array,
-                         block_size: int):
+                         block_size: int, init_window: jax.Array = None,
+                         init_window_len: int = 0):
     """Decode a chain of linked LZ4 blocks (one stream, in order).
 
     Block ``b``'s 64 KB window is block ``b-1``'s output, matching the
@@ -961,6 +984,12 @@ def decode_blocks_linked(comp_bytes_i32: jax.Array, comp_lens: jax.Array,
       comp_lens: [B] int32 payload lengths.
       block_size: the frame's block size (multiple of 128, <= 64 KB; the
         window is the full previous block).
+      init_window: optional [1, block_size] int32 byte lanes seeding
+        block 0's window (right-aligned content, e.g. the previous
+        group's last decoded block when decoding a long chain in
+        pipelined groups — may be a device array, enabling
+        device-to-device window handoff with no host round-trip).
+      init_window_len: its byte length (<= block_size).
 
     Returns (out [B, block_size] int32 bytes, olen [B]; -1 = malformed).
     """
@@ -972,8 +1001,12 @@ def decode_blocks_linked(comp_bytes_i32: jax.Array, comp_lens: jax.Array,
         comp_bytes_i32 = jnp.pad(comp_bytes_i32, ((0, 0), (0, pad)))
         M += pad
     N = P = block_size
-    dict_rows = jnp.zeros((B, 1, 128), jnp.int32)  # unused in linked mode
     plen = jnp.zeros((B,), jnp.int32)
+    if init_window is not None and init_window_len:
+        dict_rows = init_window.reshape(1, P // 128, 128)
+        plen = plen.at[0].set(int(init_window_len))
+    else:
+        dict_rows = jnp.zeros((1, P // 128, 128), jnp.int32)
     ocap = jnp.full((B,), block_size, jnp.int32)
     out, olen = _decode_blocks(comp_bytes_i32, comp_lens.astype(jnp.int32),
                                dict_rows, plen, ocap,

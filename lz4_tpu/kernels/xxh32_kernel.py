@@ -101,6 +101,24 @@ def _xxh32_stripes(wordsT, ns_rows, *, T, B, interpret):
     return acc[:4]
 
 
+@functools.partial(jax.jit, static_argnames=("T", "B", "interpret"))
+def _xxh32_device(packed_words, lens, ns_rows, *, T, B, interpret):
+    """Fused device path: pad/transpose, stripe kernel, and tail-word
+    extraction in ONE jit — only [4,B] accumulators and [B,4] tail words
+    leave the device (the old path fetched the ENTIRE input for the
+    <16-byte tail, hiding the kernel behind a full-buffer transfer)."""
+    B0, W0 = packed_words.shape
+    w = jnp.pad(packed_words.astype(jnp.int32),
+                ((0, B - B0), (0, 4 * T - W0)))
+    acc = _xxh32_stripes(w.T, ns_rows, T=T, B=B, interpret=interpret)
+    base = (lens // 16 * 4).astype(jnp.int32)           # [B0]
+    idx = base[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(idx, W0 - 1)
+    tailw = jnp.take_along_axis(packed_words.astype(jnp.int32),
+                                idx, axis=1)            # [B0, 4]
+    return acc, tailw
+
+
 def xxh32_batch(packed_words, lens, seed: int = 0):
     """XXH32 of B independent buffers, stripes on the VPU.
 
@@ -116,18 +134,17 @@ def xxh32_batch(packed_words, lens, seed: int = 0):
     B0, W0 = packed_words.shape
     B = -(-B0 // 128) * 128
     T = max(-(-W0 // (4 * CHUNK)), 1) * CHUNK
-    w = jnp.pad(packed_words.astype(jnp.int32),
-                ((0, B - B0), (0, 4 * T - W0)))
-    wordsT = w.T                      # [4T, B]
     ns = np.zeros((8, B), np.int32)
     ns[0, :B0] = (lens_np // 16).astype(np.int32)
     ns[1, :] = np.int32(np.uint32(seed).view(np.int32))
-    acc = np.asarray(_xxh32_stripes(wordsT, jnp.asarray(ns),
-                                    T=T, B=B, interpret=on_cpu()))
-    acc = acc[:, :B0].astype(np.uint32)
+    acc_d, tailw_d = _xxh32_device(
+        packed_words, jnp.asarray(lens_np.astype(np.int32)),
+        jnp.asarray(ns), T=T, B=B, interpret=on_cpu())
+    acc = np.asarray(acc_d)[:, :B0].astype(np.uint32)
+    tailw = np.asarray(tailw_d).astype(np.uint32)       # [B0, 4]
 
-    # ---- host finish: converge + tail + avalanche (xxhash.c:334-371) ----
-    words = np.asarray(packed_words).astype(np.uint32)[:B0]
+    # ---- host finish: converge + tail + avalanche (xxhash.c:334-371),
+    # numpy over [B0] scalars + the fetched [B0,4] tail words only ----
     lens32 = lens_np.astype(np.uint32)
     seed32 = np.uint32(seed)
     big = lens_np >= 16
@@ -140,13 +157,15 @@ def xxh32_batch(packed_words, lens, seed: int = 0):
         seed32 + P5).astype(np.uint32)
     h = (h + lens32).astype(np.uint32)
 
-    # tail: whole words then bytes, per-lane masked
+    # tail: whole words then bytes, per-lane masked — all tail content
+    # lives in the 4 words at the last stripe boundary (rem <= 15), which
+    # is exactly what tailw holds
     base_words = (lens_np // 16 * 4).astype(np.int64)
     rem = lens_np % 16
     idx = np.arange(B0)
     for j in range(3):
         m = rem >= (j + 1) * 4
-        wj = words[idx, np.minimum(base_words + j, words.shape[1] - 1)]
+        wj = tailw[idx, j]
         cand = (h + wj * P3).astype(np.uint32)
         cand = ((cand << 17) | (cand >> 15)).astype(np.uint32) * P4
         h = np.where(m, cand.astype(np.uint32), h)
@@ -154,9 +173,9 @@ def xxh32_batch(packed_words, lens, seed: int = 0):
     byte_base = (lens_np - nb).astype(np.int64)
     for j in range(3):
         m = nb >= j + 1
-        widx = np.minimum((byte_base + j) // 4, words.shape[1] - 1)
+        widx = np.minimum((byte_base + j) // 4 - base_words, 3)
         shift = ((byte_base + j) % 4 * 8).astype(np.uint32)
-        bj = (words[idx, widx] >> shift) & np.uint32(0xFF)
+        bj = (tailw[idx, widx] >> shift) & np.uint32(0xFF)
         cand = (h + bj * P5).astype(np.uint32)
         cand = ((cand << 11) | (cand >> 21)).astype(np.uint32) * P1
         h = np.where(m, cand.astype(np.uint32), h)
