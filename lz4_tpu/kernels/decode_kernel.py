@@ -114,6 +114,51 @@ def preparse_rows(vals: jax.Array) -> jax.Array:
             | (ok_lle.astype(jnp.int32) << 25))
 
 
+@jax.jit
+def preparse_match_rows(vals: jax.Array, pre: jax.Array) -> jax.Array:
+    """Second preparse table: preB[p] packs the fields that live at the
+    MATCH HEADER of a sequence starting at p, fetched on the VPU with a
+    15-way select over globally-shifted copies of ``vals`` (shift =
+    1 + literal nibble; each lane's select key is its OWN nibble, so one
+    select level is exact — multi-level shift composition would evaluate
+    later masks at shifted positions and is NOT valid).
+
+    Only sequences WITHOUT a literal-extension byte are covered (the
+    valid bit is clear otherwise and the scalar loop routes them to the
+    general path — they are a few percent of real streams).  This kills
+    the scalar loop's DEPENDENT load chain: deriving a sequence
+    previously took pval(ip) THEN sval(ip + mdelta) — two serialized
+    SMEM loads per lane, and each extra pair lane chained two more.
+    With preB the kernel issues two INDEPENDENT loads per lane (round-5
+    measurement: the lane-serial load chain, not the rolls, is what made
+    extra pair lanes cost ~80-100ns each).
+
+    Packing:
+      bits  0..15  offset   = LE16 at the match header
+      bits 16..24  mlen     = full match length incl. one ext byte
+                              (4..274; 9 bits)
+      bit  25      valid    = no literal-extension byte AND match needs
+                              at most one extension byte
+      bit  26      oge_ml   = offset >= mlen (no overlap doubling)
+    """
+    ll_nib = (vals >> 4) & 0xF
+    w = jnp.roll(vals, -1, axis=1)          # ll_nib == 0
+    for j in range(1, 15):
+        w = jnp.where(ll_nib == j, jnp.roll(vals, -(1 + j), axis=1), w)
+    offset = w & 0xFFFF
+    extb = (w >> 16) & 0xFF
+    mlb = (pre >> 19) & 31
+    is_ext = (pre >> 24) & 1
+    mlen = mlb + is_ext * extb
+    valid = jnp.logical_and(
+        ll_nib < 15,
+        jnp.logical_or(is_ext == 0, extb != 255))
+    return (offset
+            | (mlen << 16)
+            | (valid.astype(jnp.int32) << 25)
+            | ((offset >= mlen).astype(jnp.int32) << 26))
+
+
 def _make_lit12(sval, merge, lane):
     """Shared 12-literal broadcast injection for the fast/mid sequence
     paths of both decode kernels: up to 12 literal bytes from three
@@ -186,17 +231,18 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
     sg = mode == "sg"
 
     def kernel(clen_ref, plen_ref, ocap_ref, vals2d_hbm, pre2d_hbm,
-               vals3d_hbm, dict_hbm, out_hbm, olen_ref, *rest):
+               preB2d_hbm, vals3d_hbm, dict_hbm, out_hbm, olen_ref,
+               *rest):
         if resumable:
-            cons_ref, vsmem, psmem, cvmem, ovmem = rest[:5]
+            cons_ref, vsmem, psmem, psmem2, cvmem, ovmem = rest[:6]
         else:
             cons_ref = None
-            vsmem, psmem, cvmem, ovmem = rest[:4]
-        rest = rest[5 if resumable else 4:]
+            vsmem, psmem, psmem2, cvmem, ovmem = rest[:5]
+        rest = rest[6 if resumable else 5:]
         if sg:
-            stage, sem_s, sem_p, sem_v, sem_d, sem_o = rest
+            stage, sem_s, sem_p, sem_p2, sem_v, sem_d, sem_o = rest
         else:
-            sem_s, sem_p, sem_v, sem_d, sem_o = rest
+            sem_s, sem_p, sem_p2, sem_v, sem_d, sem_o = rest
         b = pl.program_id(0)
         n = clen_ref[b]
         lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -226,6 +272,8 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
         cp_s.start()
         cp_p = pltpu.make_async_copy(pre2d_hbm.at[b], psmem, sem_p)
         cp_p.start()
+        cp_p2 = pltpu.make_async_copy(preB2d_hbm.at[b], psmem2, sem_p2)
+        cp_p2.start()
         cp_v = pltpu.make_async_copy(vals3d_hbm.at[b],
                                      cvmem.at[pl.ds(1, MR), :], sem_v)
         cp_v.start()
@@ -272,12 +320,16 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
         cvmem[pl.ds(1, MR), :] = cvmem[pl.ds(1, MR), :] & 0xFF
         cp_s.wait()
         cp_p.wait()
+        cp_p2.wait()
 
         def sval(ip):
             return vsmem[0, jnp.minimum(ip, M - 1)]
 
         def pval(ip):
             return psmem[0, jnp.minimum(ip, M - 1)]
+
+        def pvalB(ip):
+            return psmem2[0, jnp.minimum(ip, M - 1)]
 
         def sbyte(ip):
             return sval(ip) & 0xFF
@@ -496,28 +548,29 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             ip_cur, opos_cur, cpos_cur = ip_adv, opos2, cpos1 + mlen
             for _ in range(PAIR_LANES):
                 p1x = pval(ip_cur)
+                p2x = pvalB(ip_cur)
                 mposx = ip_cur + (p1x & 1023)
-                v2x = sval(mposx)
-                offx = v2x & 0xFFFF
-                extbx = (v2x >> 16) & 0xFF
+                offx = p2x & 0xFFFF
                 llx = (p1x >> 10) & 0x1FF
                 is_extx = (p1x >> 24) & 1
-                mlenx = ((p1x >> 19) & 31) + is_extx * extbx
+                mlenx = (p2x >> 16) & 0x1FF
                 ip_advx = mposx + 2 + is_extx
                 lit_ipx = jnp.maximum(mposx - llx, 0)
                 oposx1 = opos_cur + llx
                 cposx = cpos_cur
                 cposx1 = cposx + llx
                 oposx2 = oposx1 + mlenx
-                ok_ex = jnp.logical_and(
-                    (p1x >> 25) != 0,
-                    jnp.logical_or(is_extx == 0, extbx != 255))
-                lane_lit_ok = jnp.bool_(True) if LANE_LONGLIT \
-                    else (llx <= 12)
+                ok_ex = ((p2x >> 25) & 3) == 3   # ok_ext AND off >= mlen
+                # ROW-LOCAL lane admission: the lane's whole envelope
+                # (literals + match) must sit inside ONE row of the
+                # two-row frame — its window read is then a single 2-row
+                # load + roll and the same vector merges into both frame
+                # rows (one mask is empty).
+                rbx = cposx & ~127
                 px = jnp.logical_and(
-                    jnp.logical_and(prev_ok,
-                                    jnp.logical_and(ok_ex, offx >= mlenx)),
-                    jnp.logical_and(lane_lit_ok, cposx1 + mlenx <= 251))
+                    jnp.logical_and(prev_ok, ok_ex),
+                    jnp.logical_and(llx <= 12,
+                                    cposx1 + mlenx - rbx <= 123))
                 px = jnp.logical_and(px, mposx != n)
                 px = jnp.logical_and(px, ip_advx <= n)
                 px = jnp.logical_and(px, oposx2 <= olim)
@@ -525,7 +578,7 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
                     px, jnp.logical_and(offx > 0, offx <= oposx1 + plen))
                 px = jnp.logical_and(px, oposx1 - offx + mlenx <= opos1)
                 lanes.append((px, lit_ipx, llx, cposx, oposx1, offx,
-                              mlenx, cposx1, ip_advx, oposx2))
+                              mlenx, cposx1, rbx, ip_advx, oposx2))
                 prev_ok = px
                 ip_cur, opos_cur, cpos_cur = ip_advx, oposx2, cposx1 + mlenx
 
@@ -551,7 +604,7 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             # measurement: splitting this into two conditional regions
             # cost ~65ns/iteration in this body.)
             need = opos1 - offset + mlen > fl
-            for (px, _, _, _, oposx1, offx, mlenx, _, _, _) in lanes:
+            for (px, _, _, _, oposx1, offx, mlenx, _, _, _, _) in lanes:
                 need = jnp.logical_or(need, jnp.logical_and(
                     px, oposx1 - offx + mlenx > fl))
             if "noflush" not in _ABLATE:
@@ -567,20 +620,19 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             carry = merge(carry, v1, cpos1, mtake)
             c2 = merge(c2, v2, cpos1 - 128, mtake)
             for (px, lit_ipx, llx, cposx, oposx1, offx, mlenx, cposx1,
-                 _, _) in lanes:
-                vx1, vx2 = win2rows(ovmem, oposx1 - offx + OBASE, cposx1,
-                                    128 * (PR + NR - 1))
+                 rbx, _, _) in lanes:
+                # single 2-row window read aligned to the lane's OWN row
+                # (rbx); the same vector merges into both frame rows —
+                # exactly one of the two masks is non-empty
+                ax = jnp.clip(oposx1 - offx + OBASE - (cposx1 - rbx),
+                              -128, 128 * (PR + NR - 1))
+                vx = window(ovmem, ax)
                 ltx = jnp.where(px, llx, 0)
-                if LANE_LONGLIT:
-                    lvx1, lvx2 = win2rows(cvmem, lit_ipx, cposx, 128 * MR)
-                    carry = merge(carry, lvx1, cposx, ltx)
-                    c2 = merge(c2, lvx2, cposx - 128, ltx)
-                else:
-                    carry, c2 = lit12(carry, lit_ipx, cposx, ltx,
-                                      two_rows=True, carry2=c2)
+                carry, c2 = lit12(carry, lit_ipx, cposx, ltx,
+                                  two_rows=True, carry2=c2)
                 mtx = jnp.where(px, mlenx, 0)
-                carry = merge(carry, vx1, cposx1, mtx)
-                c2 = merge(c2, vx2, cposx1 - 128, mtx)
+                carry = merge(carry, vx, cposx1, mtx)
+                c2 = merge(c2, vx, cposx1 - 128, mtx)
 
             ok_end = jnp.logical_and(ended, ok_l)
             if resumable:
@@ -605,7 +657,7 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
                 opos_n = jnp.where(do_match, opos2,
                                    jnp.where(ok_l, opos1, opos))
                 status = jnp.where(ok_end, 1, jnp.where(do_match, 0, 2))
-            for (px, _, _, _, _, _, _, _, ip_advx, oposx2) in lanes:
+            for (px, _, _, _, _, _, _, _, _, ip_advx, oposx2) in lanes:
                 ip = jnp.where(px, ip_advx, ip)
                 opos_n = jnp.where(px, oposx2, opos_n)
 
@@ -626,19 +678,19 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
 
         def seq_body(state):
             ip, opos, status, carry, fl = state
-            # preparse side table (preparse_rows): one load hands the
-            # scalar core the token fields it used to re-derive op by op;
-            # a second load at mpos yields offset AND the match-extension
-            # byte from the same val32 word
+            # TWO preparse side tables, loaded INDEPENDENTLY (round 5):
+            # pval(ip) carries the token-side fields, pvalB(ip) the
+            # match-header fields (offset/mlen/admission flags) gathered
+            # by the VPU (preparse_match_rows), so no scalar load ever
+            # waits on another load's result for this sequence
             p1 = pval(ip)
+            p2 = pvalB(ip)
             mpos = ip + (p1 & 1023)
-            v2 = sval(mpos)
-            offset = v2 & 0xFFFF
-            extb = (v2 >> 16) & 0xFF
+            offset = p2 & 0xFFFF
+            mlen = (p2 >> 16) & 0x1FF
             ll = (p1 >> 10) & 0x1FF
             is_ext = (p1 >> 24) & 1
             mlb = (p1 >> 19) & 31
-            mlen = mlb + is_ext * extb
             ip_adv = mpos + 2 + is_ext
             lit_ip = mpos - ll
             cpos = opos & 127
@@ -648,10 +700,7 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             # literal runs up to 247 bytes via the 3-row input roll).
             # Everything else — longer extension chains, overlapping
             # matches, >251-byte envelopes — takes the general path.
-            ok_ext = jnp.logical_and(
-                (p1 >> 25) != 0,
-                jnp.logical_or(is_ext == 0, extb != 255))
-            base_ok = jnp.logical_and(ok_ext, offset >= mlen)
+            base_ok = ((p2 >> 25) & 3) == 3
             tot = cpos + ll + mlen
             fm = jnp.logical_and(base_ok, tot <= 251)
 
@@ -722,6 +771,7 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
             | (jnp.roll(c, -2, axis=1) << 16)
             | (jnp.roll(c, -3, axis=1) << 24))
     pre = preparse_rows(vals)
+    preB = preparse_match_rows(vals, pre)
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -741,13 +791,16 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.SMEM((1, M), jnp.int32),
             pltpu.SMEM((1, M), jnp.int32),
+            pltpu.SMEM((1, M), jnp.int32),
             pltpu.VMEM((MR + 4, 128), jnp.int32),
             pltpu.VMEM((3 + PR + NR, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -763,7 +816,7 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(clen, plen, ocap, vals.reshape(B, 1, M), pre.reshape(B, 1, M),
-      vals.reshape(B, MR, 128), dict_rows)
+      preB.reshape(B, 1, M), vals.reshape(B, MR, 128), dict_rows)
     if resumable:
         out, olen, cons = res
         return out.reshape(B, N), olen, cons
@@ -783,11 +836,13 @@ def _decode_blocks_sg(comp, clen, cum, ocap, *, M, N, TOTR, interpret):
             | (jnp.roll(c, -2, axis=1) << 16)
             | (jnp.roll(c, -3, axis=1) << 24))
     pre = preparse_rows(vals)
+    preB = preparse_match_rows(vals, pre)
     dict_rows = jnp.zeros((B, 1, 128), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -800,9 +855,11 @@ def _decode_blocks_sg(comp, clen, cum, ocap, *, M, N, TOTR, interpret):
         scratch_shapes=[
             pltpu.SMEM((1, M), jnp.int32),
             pltpu.SMEM((1, M), jnp.int32),
+            pltpu.SMEM((1, M), jnp.int32),
             pltpu.VMEM((MR + 4, 128), jnp.int32),
             pltpu.VMEM((3 + PR + NR, 128), jnp.int32),
             pltpu.VMEM((PR + NR + 2, 128), jnp.int32),   # stage
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -820,7 +877,7 @@ def _decode_blocks_sg(comp, clen, cum, ocap, *, M, N, TOTR, interpret):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(clen, cum, ocap, vals.reshape(B, 1, M), pre.reshape(B, 1, M),
-      vals.reshape(B, MR, 128), dict_rows)
+      preB.reshape(B, 1, M), vals.reshape(B, MR, 128), dict_rows)
     return out, olen
 
 
@@ -1216,7 +1273,7 @@ def _make_stream_decode_kernel(linked: bool):
         floor = jnp.int32(0) if linked else base
 
         def slow_seq(ip, opos, carry, ll_nib, ll_f, litip_f, ml_nib, cpos,
-                     hi, fl, mlen_f, offset_f, ipadv_f):
+                     hi, fl, wm, mlen_f, offset_f, ipadv_f):
             ip = ip + 1
             ext, ip, ok, hi = read_ext(ll_nib, ip, iend, hi)
             litlen = ll_nib + ext
@@ -1252,32 +1309,50 @@ def _make_stream_decode_kernel(linked: bool):
             ip = jnp.where(do_match, ip_m, ip)
 
             status = jnp.where(ended, 1, jnp.where(do_match, 0, 2))
+            # the copy loops materialize completed rows; the partial row
+            # lives only in the carry
+            wm = jnp.maximum(wm, opos & ~127)
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
-                    status.astype(jnp.int32), carry, hi, fl)
+                    status.astype(jnp.int32), carry, hi, fl, wm)
 
-        def fast_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
-                     hi, fl, mlen, offset, ip_adv):
-            # straight-line common case, widened to the batch kernel's
-            # envelope: up to 12 literals injected from three broadcast
-            # val32 words, one TERMINAL match-length extension byte, no
-            # row completion, no overlap doubling; mlen/offset/ip_adv
-            # precomputed by seq_body (issue-bound scalar core).
-            # PAIRED like the batch kernel's fast path (docs/SOL.md): the
-            # next sequence is parsed too and retired in the same
-            # iteration when it is fast-class, row-local, and its match
-            # source stays below this sequence's match output.  Residency:
-            # the refill guard keeps [ip, ip+272) loaded.  When B's token
-            # has a literal-extension nibble, sval(mposb) can address up
-            # to ~ip+290 — PAST that guarantee — and may read stale ring
-            # bytes; that read is safe only because `pair` requires
-            # llb <= 12, which is impossible when hasb is set, so the
-            # stale value is provably discarded.  Do not widen the pair
-            # admission past llb <= 12 without extending the refill guard.
+        # ------------------------------------------------------------------
+        # unified fast path (round 5): ring twin of the batch kernel's
+        # fm_seq — two-row envelope (tot <= 251), one fused watermark
+        # flush region, one row-completion store, ROW-LOCAL pair lane.
+        # ``wm`` is the ring watermark: ovmem rows hold every byte < wm;
+        # fm serves nothing from ovmem beyond it without flushing first.
+        # ------------------------------------------------------------------
+
+        def rwin2(qbase, sh):
+            """(v1, v2) frame rows of the output ring for a source whose
+            frame-lane-0 ring byte is ``qbase`` (rebased by sh so the
+            roll never needs more than 3 rows)."""
+            q = qbase & RING_MASK
+            f = q >> 7
+            sl = q & 127
+            w = ovmem[pl.ds(f, 3), :]     # mirror rows cover the wrap
+            rot = pltpu.roll(w, -sl, axis=1)
+            u1 = jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
+            u2 = jnp.where(lane < 128 - sl, rot[1:2], rot[2:3])
+            v2 = jnp.where(sh == 128, u1, u2)
+            return u1, v2
+
+        def fm_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
+                   hi, fl, wm, mlen, offset, ip_adv):
+            # PAIRED like the batch kernel (docs/SOL.md).  Residency: the
+            # refill guard keeps [ip, ip+272) loaded.  When B's token has
+            # a literal-extension nibble, sval(mposb) can read past that
+            # guarantee and may see stale ring bytes; that read is safe
+            # only because ``pair`` requires llb <= 12, which is
+            # impossible when hasb is set, so the stale value is provably
+            # discarded.  Do not widen the pair admission past llb <= 12
+            # without extending the refill guard.
             ip1 = lit_ip
             ipm = ip1 + ll
             opos1 = opos + ll
-            cpos1 = cpos + ll
+            cpos1 = cpos + ll       # may be >= 128 (one crossing allowed)
             opos2 = opos1 + mlen
+            ZERO = jnp.zeros((1, 128), jnp.int32)
 
             ended = ipm == iend
             ok_l = jnp.logical_and(ipm <= iend, opos1 <= olim)
@@ -1287,7 +1362,7 @@ def _make_stream_decode_kernel(linked: bool):
             ok_m = jnp.logical_and(ok_m, opos2 <= olim)
             do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
 
-            # ---- sequence B at ip_adv (pair lane) ----
+            # ---- sequence B at ip_adv (row-local pair lane) ----
             vb0 = sval(ip_adv)
             llnb = (vb0 >> 4) & 15
             mlnb = vb0 & 15
@@ -1306,13 +1381,15 @@ def _make_stream_decode_kernel(linked: bool):
             oposb1 = opos2 + llb
             cposb1 = cposb + llb
             oposb2 = oposb1 + mlenb
+            rbx = cposb & ~127
             ok_eb = jnp.logical_and(
                 jnp.logical_or(mlnb < 15, extbb != 255),
                 jnp.logical_or(jnp.logical_not(hasb), lleb != 255))
             pair = jnp.logical_and(
                 jnp.logical_and(do_match,
                                 jnp.logical_and(ok_eb, offb >= mlenb)),
-                jnp.logical_and(llb <= 12, cposb1 + mlenb <= 123))
+                jnp.logical_and(llb <= 12,
+                                cposb1 + mlenb - rbx <= 123))
             pair = jnp.logical_and(pair, mposb != iend)
             pair = jnp.logical_and(pair, ip_advb <= iend)
             pair = jnp.logical_and(pair, oposb2 <= olim)
@@ -1320,50 +1397,15 @@ def _make_stream_decode_kernel(linked: bool):
                 pair, jnp.logical_and(offb > 0, offb <= oposb1 - floor))
             pair = jnp.logical_and(pair, oposb1 - offb + mlenb <= opos1)
 
-            carry, _ = lit12(carry, ip1, cpos, ll, two_rows=False)
+            # lane A literals: broadcast for <= 12, 3-row ring roll else
+            def lit_b(carry):
+                return lit12(carry, ip1, cpos, ll, two_rows=True)
 
-            ostore(orow(opos), carry)
-            v = owindow(opos1 - offset - cpos1)
-            vb = owindow(oposb1 - offb - cposb1)
-            carry = merge(carry, v, cpos1, jnp.where(do_match, mlen, 0))
-            carry, _ = lit12(carry, lit_ipb, cposb,
-                             jnp.where(pair, llb, 0), two_rows=False)
-            carry = merge(carry, vb, cposb1, jnp.where(pair, mlenb, 0))
-
-            ip = jnp.where(pair, ip_advb,
-                           jnp.where(do_match, ip_adv, ipm))
-            opos = jnp.where(pair, oposb2,
-                             jnp.where(do_match, opos2,
-                                       jnp.where(ok_l, opos1, opos)))
-            status = jnp.where(jnp.logical_and(ended, ok_l), 1,
-                               jnp.where(do_match, 0, 2))
-            return (ip.astype(jnp.int32), opos.astype(jnp.int32),
-                    status.astype(jnp.int32), carry, hi, fl)
-
-        def mid_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
-                    hi, fl, mlen, offset, ip_adv):
-            # one-row-crossing analog of the batch kernel's mid path (see
-            # _make_decode_kernel): literal runs up to 247 bytes come from
-            # ONE 3-row input-ring roll; ring-row indexing for the match;
-            # plus a page flush when the crossing completes a 64KB page.
-            # All bytes [ip, ip+272) are resident (seq_body's refill
-            # guard), so no ensure() is needed here.
-            ipm = lit_ip + ll
-            opos1 = opos + ll
-            cpos1 = cpos + ll        # <= 247 (tot <= 251, mlen >= 4)
-            opos2 = opos1 + mlen
-            ZERO = jnp.zeros((1, 128), jnp.int32)
-
-            def lit_broadcast(carry):
-                # ll <= 12: broadcast injection, no roll (_make_lit12)
-                return lit12(carry, lit_ip, cpos, ll, two_rows=True)
-
-            def lit_roll(carry):
-                # long run (13..247 bytes): one 3-row input-ring roll
+            def lit_r(carry):
                 ql = (lit_ip - cpos) & RING_MASK
                 f_l = ql >> 7
                 sl_l = ql & 127
-                w_l = cvmem[pl.ds(f_l, 3), :]  # rows 1023+ = the mirrors
+                w_l = cvmem[pl.ds(f_l, 3), :]
                 rot_l = pltpu.roll(w_l, -sl_l, axis=1)
                 lv1 = jnp.where(lane < 128 - sl_l,
                                 rot_l[0:1], rot_l[1:2])
@@ -1372,63 +1414,65 @@ def _make_stream_decode_kernel(linked: bool):
                 return (merge(carry, lv1, cpos, ll),
                         merge(ZERO, lv2, cpos - 128, ll))
 
-            carry, carry2 = lax.cond(ll <= 12, lit_broadcast, lit_roll,
-                                     carry)
+            carry, c2 = lax.cond(ll <= 12, lit_b, lit_r, carry)
 
-            ended = ipm == iend
-            ok_l = jnp.logical_and(ipm <= iend, opos1 <= olim)
-
+            # fused watermark flush: ONE conditional region
+            need = opos1 - offset + mlen > wm
+            need = jnp.logical_or(need, jnp.logical_and(
+                pair, oposb1 - offb + mlenb > wm))
             r_a = orow(opos)
-            r_b = (r_a + 1) & (2 * PAGE_ROWS - 1)
-            ostore(r_a, carry)
-            cross_l = cpos1 >= 128
 
-            @pl.when(cross_l)
+            @pl.when(need)
             def _():
-                ostore(r_b, carry2)
+                ostore(r_a, carry)
 
-            c = cpos1 - jnp.where(cross_l, 128, 0)
-            r1 = jnp.where(cross_l, r_b, r_a)
-            carry = jnp.where(cross_l, carry2, carry)
-            carry2 = jnp.where(cross_l, ZERO, carry2)
+                @pl.when(cpos1 > 128)
+                def _():
+                    ostore((r_a + 1) & (2 * PAGE_ROWS - 1), c2)
+            wm = jnp.where(need, opos1, wm)
 
-            q = (opos1 - offset - c) & RING_MASK
-            f = q >> 7
-            sl = q & 127
-            w = ovmem[pl.ds(f, 3), :]
-            rot = pltpu.roll(w, -sl, axis=1)
-            v1 = jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
-            v2 = jnp.where(lane < 128 - sl, rot[1:2], rot[2:3])
-            mcarry = merge(carry, v1, c, mlen)
-            mcarry2 = merge(carry2, v2, c - 128, mlen)
+            # lane A match: 3-row ring read, rebased when crossing
+            sh = jnp.where(cpos1 >= 128, 128, 0)
+            v1, v2 = rwin2(opos1 - offset - (cpos1 - sh), sh)
+            mtake = jnp.where(do_match, mlen, 0)
+            carry = merge(carry, v1, cpos1, mtake)
+            c2 = merge(c2, v2, cpos1 - 128, mtake)
 
-            ok_m = jnp.logical_and(
-                jnp.logical_and(ok_l, ip_adv <= iend),
-                jnp.logical_and(offset > 0, offset <= opos1 - floor))
-            ok_m = jnp.logical_and(ok_m, opos2 <= olim)
+            # lane B: single 2-row read aligned to its OWN row; the same
+            # vector merges into both frame rows (one mask is empty)
+            vb = owindow(oposb1 - offb - (cposb1 - rbx))
+            carry, c2 = lit12(carry, lit_ipb, cposb,
+                              jnp.where(pair, llb, 0), two_rows=True,
+                              carry2=c2)
+            tb = jnp.where(pair, mlenb, 0)
+            carry = merge(carry, vb, cposb1, tb)
+            c2 = merge(c2, vb, cposb1 - 128, tb)
 
-            do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
-            cross_m = jnp.logical_and(do_match, c + mlen >= 128)
-
-            @pl.when(cross_m)
-            def _():
-                ostore(r1, mcarry)
-
-            carry = jnp.where(cross_m, mcarry2,
-                              jnp.where(do_match, mcarry, carry))
-            ip = jnp.where(do_match, ip_adv, ipm)
-            opos_new = jnp.where(do_match, opos2,
-                                 jnp.where(ok_l, opos1, opos))
-            fl = lax.cond((opos_new >> 16) > (opos >> 16),
-                          lambda f_: flush(opos_new, f_),
-                          lambda f_: f_, fl)
+            ip = jnp.where(pair, ip_advb,
+                           jnp.where(do_match, ip_adv, ipm))
+            opos_n = jnp.where(pair, oposb2,
+                               jnp.where(do_match, opos2,
+                                         jnp.where(ok_l, opos1, opos)))
             status = jnp.where(jnp.logical_and(ended, ok_l), 1,
                                jnp.where(do_match, 0, 2))
-            return (ip.astype(jnp.int32), opos_new.astype(jnp.int32),
-                    status.astype(jnp.int32), carry, hi, fl)
+
+            # row completion: store once, promote c2
+            crossed = (opos_n >> 7) > (opos >> 7)
+
+            @pl.when(crossed)
+            def _():
+                ostore(r_a, carry)
+            carry = jnp.where(crossed, c2, carry)
+            wm = jnp.maximum(wm, jnp.where(crossed, opos_n & ~127, 0))
+            fl = lax.cond((opos_n >> 16) > (opos >> 16),
+                          lambda f_: flush(opos_n, f_),
+                          lambda f_: f_, fl)
+            return (ip.astype(jnp.int32), opos_n.astype(jnp.int32),
+                    status.astype(jnp.int32), carry, hi, fl, wm)
+
 
         def seq_body(st2):
-            ip, opos, status, carry, hi, fl = st2
+            ip, opos, status, carry, hi, fl, wm = st2
             # The page check rides the loop as a RARE branch instead of an
             # inline while_loop: an inner loop in the hot body forces the
             # carry vector and scalars through spill slots every sequence
@@ -1436,18 +1480,19 @@ def _make_stream_decode_kernel(linked: bool):
             # pages the ring and the next iteration re-enters with the
             # bytes resident.
             def refill():
-                # page so the mid path's whole envelope (1 token + 1 lit
-                # ext + 247 literals + match header, < 272 bytes) is
+                # page so the unified path's whole envelope (1 token + 1
+                # lit ext + 247 literals + match header, < 272 bytes) is
                 # resident; the input upload carries 2*PAGE+256 slack so
                 # the lookahead never DMAs past the buffer
-                return (ip, opos, status, carry, ensure(ip + 252, hi), fl)
+                return (ip, opos, status, carry, ensure(ip + 252, hi),
+                        fl, wm)
 
             def work():
-                return seq_work(ip, opos, status, carry, hi, fl)
+                return seq_work(ip, opos, status, carry, hi, fl, wm)
 
             return lax.cond(ip + 272 <= hi, work, refill)
 
-        def seq_work(ip, opos, status, carry, hi, fl):
+        def seq_work(ip, opos, status, carry, hi, fl, wm):
             v = sval(ip)
             token = v & 0xFF
             ll_nib = token >> 4
@@ -1468,30 +1513,25 @@ def _make_stream_decode_kernel(linked: bool):
                 jnp.logical_or(jnp.logical_not(has_lle), lle_b != 255))
             base_ok = jnp.logical_and(ok_ext, offset >= mlen)
             tot = cpos + ll + mlen
-            fast = jnp.logical_and(jnp.logical_and(base_ok, ll <= 12),
-                                   tot <= 123)
-            midc = jnp.logical_and(base_ok, tot <= 251)
+            fm = jnp.logical_and(base_ok, tot <= 251)
 
-            def not_fast(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib,
-                         cpos, hi, fl, mlen, offset, ip_adv):
-                return lax.cond(midc, mid_seq, slow_seq,
-                                ip, opos, carry, ll_nib, ll, lit_ip,
-                                ml_nib, cpos, hi, fl, mlen, offset, ip_adv)
-
-            return lax.cond(fast, fast_seq, not_fast,
+            return lax.cond(fm, fm_seq, slow_seq,
                             ip, opos, carry, ll_nib, ll, lit_ip, ml_nib,
-                            cpos, hi, fl, mlen, offset, ip_adv)
+                            cpos, hi, fl, wm, mlen, offset, ip_adv)
 
         def seq_cond(st2):
-            ip, opos, status, _, _h, _f = st2
+            ip, opos, status = st2[0], st2[1], st2[2]
             return jnp.logical_and(status == 0, ip < iend)
 
         def do_parse():
             # carry-in: the partial row of the previous block's output
+            # (everything below ``base`` was materialized by the previous
+            # block's final ostore, so the ring watermark starts at base)
             carry0 = ovmem[pl.ds(orow(base), 1), :]
-            ip, opos, status, carry, hi, fl = lax.while_loop(
+            ip, opos, status, carry, hi, fl, _wm = lax.while_loop(
                 seq_cond, seq_body,
-                (g0, base, jnp.int32(0), carry0, state[1], state[2]))
+                (g0, base, jnp.int32(0), carry0, state[1], state[2],
+                 base))
             ostore(orow(opos), carry)
             return opos, status, hi, fl
 

@@ -135,12 +135,20 @@ def _make_hc_kernel(NS: int, M: int, max_attempts: int):
         matchlimit = n - 5
 
         def extend(q, p, init):
-            """Forward match length from (q, p) starting at init bytes."""
-            def f4cond(ml):
-                return jnp.logical_and(p + ml + 4 <= matchlimit,
-                                       val(q + ml) == val(p + ml))
+            """Forward match length from (q, p) starting at init bytes.
+            Stride-8 (two val32 tests per iteration): the walk's cost is
+            while-loop iteration count (docs/SOL.md), same recipe as the
+            fast encoder's extension."""
+            def f8cond(ml):
+                return jnp.logical_and(
+                    p + ml + 8 <= matchlimit,
+                    jnp.logical_and(val(q + ml) == val(p + ml),
+                                    val(q + ml + 4) == val(p + ml + 4)))
 
-            ml = lax.while_loop(f4cond, lambda ml: ml + 4, init)
+            ml = lax.while_loop(f8cond, lambda ml: ml + 8, init)
+            step4 = jnp.logical_and(p + ml + 4 <= matchlimit,
+                                    val(q + ml) == val(p + ml))
+            ml = ml + jnp.where(step4, 4, 0)
             diff = val(q + ml) ^ val(p + ml)
             tail = (jnp.where((diff & 0xFF) == 0, 1, 0)
                     + jnp.where((diff & 0xFFFF) == 0, 1, 0)

@@ -115,10 +115,13 @@ def main():
               f"slow={nseq-fast-mid} ({100*(nseq-fast-mid)/nseq:.1f}%) "
               f"bytes/seq={len(data)/nseq:.1f}", flush=True)
 
-        # pair-rate simulation: replay the kernel's fast-path pairing
-        # admission to see how many iterations retire two sequences
-        iters = pairs = 0
-        losses = {"next_not_fast": 0, "row": 0, "hazard": 0}
+        # pair-rate telemetry: replay the ROUND-5 unified-path admission
+        # (lane A: <=1 ext byte each, offset >= mlen, two-row envelope
+        # tot <= 251; pair lanes: fast-class, ROW-LOCAL, source below
+        # A's literal end) and count sequences retired per iteration
+        from lz4_tpu.kernels.decode_kernel import PAIR_LANES
+        iters = multi = retired_in_multi = 0
+        losses = {"next_not_fm": 0, "row": 0, "hazard": 0}
         for blk, p in enumerate(payloads):
             seqs = []
             opos = 0
@@ -149,30 +152,43 @@ def main():
             while k < len(seqs):
                 iters += 1
                 opos, ll, ml, off, end, lle, mle = seqs[k]
+                R = opos & ~127
                 cpos = opos & 127
-                fast_k = (not end and lle <= 1 and mle <= 1
-                          and off >= ml and ll <= 12
-                          and cpos + ll + ml <= 123)
-                if fast_k and k + 1 < len(seqs):
-                    o2, ll2, ml2, off2, end2, lle2, mle2 = seqs[k + 1]
-                    c2 = o2 & 127
+                fm_a = (not end and lle <= 1 and mle <= 1
+                        and off >= ml and cpos + ll + ml <= 251)
+                if not fm_a:
+                    k += 1
+                    continue
+                opos1 = opos + ll
+                j = k + 1
+                got = 0
+                while got < PAIR_LANES and j < len(seqs):
+                    o2, ll2, ml2, off2, end2, lle2, mle2 = seqs[j]
                     f2 = (not end2 and lle2 <= 1 and mle2 <= 1
                           and off2 >= ml2 and ll2 <= 12)
                     if not f2:
-                        losses["next_not_fast"] += 1
-                    elif c2 + ll2 + ml2 > 123:
+                        losses["next_not_fm"] += 1
+                        break
+                    c2a = o2 - R
+                    rb = c2a & ~127
+                    if c2a + ll2 + ml2 - rb > 123:
                         losses["row"] += 1
-                    elif o2 + ll2 - off2 + ml2 > opos + ll:
+                        break
+                    if o2 + ll2 - off2 + ml2 > opos1:
                         losses["hazard"] += 1
-                    else:
-                        pairs += 1
-                        k += 2
-                        continue
-                k += 1
-        print(f"pair sim: iters={iters} pairs={pairs} "
-              f"({100*pairs/max(iters,1):.1f}% of iterations are pairs; "
-              f"iter reduction {100*(nseq-iters)/nseq:.1f}%) "
-              f"losses={losses}", flush=True)
+                        break
+                    got += 1
+                    j += 1
+                if got:
+                    multi += 1
+                    retired_in_multi += 1 + got
+                k = j if got else k + 1
+        print(f"pair telemetry (round-5 admission, PAIR_LANES="
+              f"{PAIR_LANES}): iters={iters} multi={multi} "
+              f"({100*multi/max(iters,1):.1f}% of iterations retire 2+; "
+              f"seq/iter={nseq/iters:.3f}; iter reduction "
+              f"{100*(nseq-iters)/nseq:.1f}%) losses={losses}",
+              flush=True)
 
     rows, clens2_d = upload_byte_rows(arr), jnp.asarray(clens2)
     _, dlen = decode_blocks_linked(rows, clens2_d, BLOCK)
