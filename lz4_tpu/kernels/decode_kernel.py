@@ -76,6 +76,11 @@ if _ABLATE and os.environ.get("LZ4TPU_DEBUG") != "1":
 # cost is always paid) — so the default is 1.
 PAIR_LANES = int(os.environ.get("LZ4TPU_DEC_PAIR_LANES", "1"))
 
+# diagnostic (timing-only, output-preserving): issue N dummy independent
+# scalar ops per fast iteration to probe for issue slack — if padding is
+# free, the loop has latency bubbles that interleaving could fill
+PAD_OPS = int(os.environ.get("LZ4TPU_DEC_PAD", "0"))
+
 # pair lanes admit long literal runs (one 3-row input roll per lane
 # instead of the 12-byte broadcast injection).  Policy replay over the
 # mm=8 corpus (scratch/pair_sim.py): converts most of the
@@ -479,56 +484,37 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
                     status.astype(jnp.int32), carry, fl)
 
-        # ------------------------------------------------------------------
-        # unified fast path (round 5): handles every sequence with at most
-        # ONE literal- and ONE match-extension byte, no overlap doubling
-        # (offset >= mlen), and an output envelope within TWO rows
-        # (tot <= 251) — the union of round-4's fast and mid classes.  Two
-        # carry registers absorb the row crossing: ``carry`` is the row at
-        # opos>>7 and ``c2`` its successor, built fresh each iteration (no
-        # valid byte can live in row R+1 across iterations, since opos is
-        # in row R).  Rows are stored ONCE — when completed, or early by
-        # the watermark flush when a match source reads them — instead of
-        # the old mid path's two unconditional stores per sequence.
+        # validity checks (all addresses clamped, results discarded on -1).
         #
-        # PAIRED: the loop body has an ~80ns/iteration floor on this core
-        # and additional same-iteration rolls are nearly free (measured,
-        # scratch/probe_roll2.py / docs/SOL.md), so the next PAIR_LANES
-        # sequences are parsed too and retired in the same iteration when
-        # they are fast-class (<=12 literals), fit the same two-row
-        # budget, and their match sources stay below lane A's literal end.
-        # The round-4 row budget was 123 (no crossing): widening it to 251
-        # converts the dominant pair-loss bucket (row budget, 8.2% of
-        # iterations) and the whole mid class (22.8% of sequences) into
-        # pairable fast work.
+        # PAIRED (round 4): the loop body has an ~80ns/iteration floor on
+        # this core, and a SECOND independent window roll in the same
+        # iteration is essentially free (rolls pipeline; measured,
+        # scratch/probe_roll2.py / docs/SOL.md) — so the fast path also
+        # parses the NEXT sequence and, when it also qualifies (fast
+        # class, same output row, and its match source stays below this
+        # sequence's match output), retires BOTH in one iteration.  The
+        # second sequence's effects are branchless: its merges run with
+        # take=0 when the pair is disarmed.
         # ------------------------------------------------------------------
 
-        def win2rows(ref, src, base_lane, hi):
-            """Two stacked [1,128] views (v1, v2) of ``ref`` such that
-            merging v1 at base_lane and v2 at base_lane-128 lays bytes
-            src, src+1, ... at lanes base_lane, base_lane+1, ... of the
-            two-row frame, for any base_lane in [0, 251]: one dynamic
-            3-row load + one roll, off the carry chain."""
-            sh = jnp.where(base_lane >= 128, 128, 0)
-            a = jnp.clip(src - (base_lane - sh), -128, hi)
-            sl = a & 127
-            w = ref[pl.ds((a >> 7) + 1, 3), :]
-            rot = w if "noroll" in _ABLATE else \
-                pltpu.roll(w, -sl, axis=1)
-            u1 = jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
-            u2 = jnp.where(lane < 128 - sl, rot[1:2], rot[2:3])
-            v2 = jnp.where(sh == 128, u1, u2)
-            return u1, v2
-
-        def fm_seq(ip, opos, carry, fl, ll, lit_ip, mlb, cpos,
-                   mlen, offset, ip_adv):
-            # mlen/offset/ip_adv precomputed by seq_body (<=1 ext byte
-            # each, guaranteed by the admission mask)
+        def fast_seq(ip, opos, carry, fl, ll, lit_ip, mlb, cpos,
+                     mlen, offset, ip_adv):
+            # mlen/offset/ip_adv precomputed by seq_body; ll <= 12 here
+            # implies no literal extension, so lit_ip = ip + 1
             ip1 = lit_ip
             ipm = ip1 + ll          # match header position (== mpos)
             opos1 = opos + ll
-            cpos1 = cpos + ll       # may be >= 128 (one crossing allowed)
+            cpos1 = cpos + ll
             opos2 = opos1 + mlen
+
+            if PAD_OPS:
+                # issue-slack probe: 4 independent dummy chains, results
+                # folded in through a branch no compiler can resolve
+                pads = [ip + 1, opos + 3, ll + 7, mlen + 11]
+                for _i in range(PAD_OPS // 4):
+                    pads = [(d * 5 + _i) & 0xFFFF for d in pads]
+                _pad = pads[0] ^ pads[1] ^ pads[2] ^ pads[3]
+                fl = jnp.where(_pad == -123457, fl + 1, fl)
 
             ended = ipm == n
             ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
@@ -540,13 +526,16 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
 
             # ---- extra lanes: parse the next K sequences, chained ----
             # Lane x joins the iteration iff every earlier lane joined,
-            # it is fast-class, its whole output fits the two-row budget,
-            # and its match source stays below lane A's literal end (it
-            # may read A's literals — the flush below includes them).
+            # it is fast-class, its whole output stays in this row, and
+            # its match source stays below lane A's match output (it may
+            # read A's literals — the single flush below includes them).
             lanes = []
             prev_ok = do_match
             ip_cur, opos_cur, cpos_cur = ip_adv, opos2, cpos1 + mlen
             for _ in range(PAIR_LANES):
+                # both side-table loads are INDEPENDENT (preB carries the
+                # match-header fields; preparse_match_rows) — no load in
+                # this lane waits on another load's result
                 p1x = pval(ip_cur)
                 p2x = pvalB(ip_cur)
                 mposx = ip_cur + (p1x & 1023)
@@ -560,17 +549,10 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
                 cposx = cpos_cur
                 cposx1 = cposx + llx
                 oposx2 = oposx1 + mlenx
-                ok_ex = ((p2x >> 25) & 3) == 3   # ok_ext AND off >= mlen
-                # ROW-LOCAL lane admission: the lane's whole envelope
-                # (literals + match) must sit inside ONE row of the
-                # two-row frame — its window read is then a single 2-row
-                # load + roll and the same vector merges into both frame
-                # rows (one mask is empty).
-                rbx = cposx & ~127
+                ok_ex = ((p2x >> 25) & 3) == 3  # no-ext AND off>=mlen
                 px = jnp.logical_and(
                     jnp.logical_and(prev_ok, ok_ex),
-                    jnp.logical_and(llx <= 12,
-                                    cposx1 + mlenx - rbx <= 123))
+                    jnp.logical_and(llx <= 12, cposx1 + mlenx <= 123))
                 px = jnp.logical_and(px, mposx != n)
                 px = jnp.logical_and(px, ip_advx <= n)
                 px = jnp.logical_and(px, oposx2 <= olim)
@@ -578,61 +560,40 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
                     px, jnp.logical_and(offx > 0, offx <= oposx1 + plen))
                 px = jnp.logical_and(px, oposx1 - offx + mlenx <= opos1)
                 lanes.append((px, lit_ipx, llx, cposx, oposx1, offx,
-                              mlenx, cposx1, rbx, ip_advx, oposx2))
+                              mlenx, cposx1, ip_advx, oposx2))
                 prev_ok = px
                 ip_cur, opos_cur, cpos_cur = ip_advx, oposx2, cposx1 + mlenx
 
-            # lane A literals: broadcast injection for runs <= 12 (the
-            # overwhelmingly common case — no roll, no load); one 3-row
-            # input-window roll for long runs up to 247 bytes across both
-            # destination rows (rolled-ROW count is the measured issue
-            # cost unit, so the common path must not pay the 3-row roll)
-            def lit_broadcast(carry):
-                return lit12(carry, lit_ip, cpos, ll, two_rows=True)
+            # literal injection, branchless (shared arithmetic: _make_lit12)
+            carry, _ = lit12(carry, ip1, cpos, ll, two_rows=False)
 
-            def lit_roll(carry):
-                lv1, lv2 = win2rows(cvmem, lit_ip, cpos, 128 * MR)
-                return (merge(carry, lv1, cpos, ll),
-                        merge(ZERO, lv2, cpos - 128, ll))
-
-            carry, c2 = lax.cond(ll <= 12, lit_broadcast, lit_roll, carry)
-
-            # watermark-gated flush, ONE region, one 2-row store: ovmem
-            # is stale in [fl, opos1), so the store — and the
-            # store->load serialization it forces on the window reads —
-            # runs only when a match source reaches past fl.  (Round-5
-            # measurement: splitting this into two conditional regions
-            # cost ~65ns/iteration in this body.)
+            # watermark-gated flush: ovmem's current row is stale only in
+            # [fl, opos1) (fast sequences are row-local and every other
+            # path flushes its rows), so the store — and the store->load
+            # serialization it forces on the window reads — is needed
+            # only when a match source reaches past fl (docs/SOL.md)
             need = opos1 - offset + mlen > fl
-            for (px, _, _, _, oposx1, offx, mlenx, _, _, _, _) in lanes:
+            for (px, _, _, _, oposx1, offx, mlenx, _, _, _) in lanes:
                 need = jnp.logical_or(need, jnp.logical_and(
                     px, oposx1 - offx + mlenx > fl))
             if "noflush" not in _ABLATE:
                 @pl.when(need)
                 def _():
-                    ovmem[pl.ds((opos >> 7) + OUT0, 2), :] = \
-                        jnp.concatenate([carry, c2], axis=0)
+                    ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
             fl = jnp.where(need, opos1, fl)
 
-            v1, v2 = win2rows(ovmem, opos1 - offset + OBASE, cpos1,
-                              128 * (PR + NR - 1))
-            mtake = jnp.where(do_match, mlen, 0)
-            carry = merge(carry, v1, cpos1, mtake)
-            c2 = merge(c2, v2, cpos1 - 128, mtake)
+            a = jnp.clip(opos1 - offset + OBASE - cpos1,
+                         -128, 128 * (PR + NR - 1))
+            v = window(ovmem, a)
+            carry = merge(carry, v, cpos1, jnp.where(do_match, mlen, 0))
             for (px, lit_ipx, llx, cposx, oposx1, offx, mlenx, cposx1,
-                 rbx, _, _) in lanes:
-                # single 2-row window read aligned to the lane's OWN row
-                # (rbx); the same vector merges into both frame rows —
-                # exactly one of the two masks is non-empty
-                ax = jnp.clip(oposx1 - offx + OBASE - (cposx1 - rbx),
+                 _, _) in lanes:
+                ax = jnp.clip(oposx1 - offx + OBASE - cposx1,
                               -128, 128 * (PR + NR - 1))
                 vx = window(ovmem, ax)
-                ltx = jnp.where(px, llx, 0)
-                carry, c2 = lit12(carry, lit_ipx, cposx, ltx,
-                                  two_rows=True, carry2=c2)
-                mtx = jnp.where(px, mlenx, 0)
-                carry = merge(carry, vx, cposx1, mtx)
-                c2 = merge(c2, vx, cposx1 - 128, mtx)
+                carry, _ = lit12(carry, lit_ipx, cposx,
+                                 jnp.where(px, llx, 0), two_rows=False)
+                carry = merge(carry, vx, cposx1, jnp.where(px, mlenx, 0))
 
             ok_end = jnp.logical_and(ended, ok_l)
             if resumable:
@@ -647,42 +608,157 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
                                     jnp.logical_not(v_m)))
                 ip = jnp.where(do_match, ip_adv,
                                jnp.where(ok_end, ipm, ip))
-                opos_n = jnp.where(do_match, opos2,
-                                   jnp.where(ok_end, opos1, opos))
+                opos = jnp.where(do_match, opos2,
+                                 jnp.where(ok_end, opos1, opos))
                 status = jnp.where(ok_end, 1,
                                    jnp.where(do_match, 0,
                                              jnp.where(hard, 2, 3)))
             else:
                 ip = jnp.where(do_match, ip_adv, ipm)
-                opos_n = jnp.where(do_match, opos2,
-                                   jnp.where(ok_l, opos1, opos))
+                opos = jnp.where(do_match, opos2,
+                                 jnp.where(ok_l, opos1, opos))
                 status = jnp.where(ok_end, 1, jnp.where(do_match, 0, 2))
-            for (px, _, _, _, _, _, _, _, _, ip_advx, oposx2) in lanes:
+            for (px, _, _, _, _, _, _, _, ip_advx, oposx2) in lanes:
                 ip = jnp.where(px, ip_advx, ip)
-                opos_n = jnp.where(px, oposx2, opos_n)
-
-            # row completion: at most one row can complete per iteration
-            # (envelope <= 251 bytes); store it and promote c2 to carry
-            crossed = (opos_n >> 7) > (opos >> 7)
-
-            if "nocross" not in _ABLATE:
-                @pl.when(crossed)
-                def _():
-                    ovmem[pl.ds((opos >> 7) + OUT0, 1), :] = carry
-            carry = jnp.where(crossed, c2, carry)
-            # fl (the slow path's flushed watermark) passes through: fm
-            # serves all still-unflushed bytes from the register snapshot,
-            # so it neither reads nor advances the watermark
-            return (ip.astype(jnp.int32), opos_n.astype(jnp.int32),
+                opos = jnp.where(px, oposx2, opos)
+            return (ip.astype(jnp.int32), opos.astype(jnp.int32),
                     status.astype(jnp.int32), carry, fl)
+
+        # --------------------------------------------------------------
+        # mid path: like fast_seq but the sequence's output may cross ONE
+        # 128-byte row boundary (total <= 251 bytes) and the literal run
+        # may be LONG (up to 247 bytes, one extension byte).  Corpus
+        # measurement (scratch/mmstudy.py): at min_match >= 12 the
+        # dominant general-path class is ordinary sequences with 13-63
+        # literals — rejected-match regions — which cost ~3x here via the
+        # per-chunk loops.  One [3,128] roll of the INPUT window covers
+        # the whole literal run across both destination rows, and one
+        # [3,128] roll of the output window covers the match (rolls cost
+        # flat at any shape, cost model in docs/ARCHITECTURE.md).
+        # --------------------------------------------------------------
+
+        def mid_seq(ip, opos, carry, fl, ll, lit_ip, mlb, cpos,
+                    mlen, offset, ip_adv):
+            ipm = lit_ip + ll
+            opos1 = opos + ll
+            cpos1 = cpos + ll        # <= 247 (tot <= 251, mlen >= 4)
+            opos2 = opos1 + mlen
+
+            def lit_broadcast(carry):
+                # ll <= 12: broadcast injection — no roll (rolls don't
+                # hide under scalar, cost model); shared _make_lit12
+                return lit12(carry, lit_ip, cpos, ll, two_rows=True)
+
+            def lit_roll(carry):
+                # long run (13..247 bytes): one 3-row input-window roll
+                # covers both destination rows
+                a_l = jnp.clip(lit_ip - cpos, -128, 128 * MR)
+                f_l = a_l >> 7
+                sl_l = a_l & 127
+                w_l = cvmem[pl.ds(f_l + 1, 3), :]
+                rot_l = w_l if "noroll" in _ABLATE else \
+                    pltpu.roll(w_l, -sl_l, axis=1)
+                lv1 = jnp.where(lane < 128 - sl_l, rot_l[0:1], rot_l[1:2])
+                lv2 = jnp.where(lane < 128 - sl_l, rot_l[1:2], rot_l[2:3])
+                return (merge(carry, lv1, cpos, ll),
+                        merge(ZERO, lv2, cpos - 128, ll))
+
+            carry, carry2 = lax.cond(ll <= 12, lit_broadcast, lit_roll,
+                                     carry)
+            carry_tok = carry   # == the value stored at r_a (rewinds)
+
+            ended = ipm == n
+            ok_l = jnp.logical_and(ipm <= n, opos1 <= olim)
+
+            # flush both possibly-written rows so the match window sees
+            # every byte < opos1, then rebase so the match's first
+            # destination lane is < 128.  (Gating these stores on the
+            # watermark to overlap the two rolls was measured SLOWER —
+            # the conditional regions still order the load and their
+            # branch cost exceeds the overlap win; docs/SOL.md.)
+            r_a = (opos >> 7) + OUT0
+            cross_l = cpos1 >= 128
+            ovmem[pl.ds(r_a, 1), :] = carry
+
+            @pl.when(cross_l)
+            def _():
+                ovmem[pl.ds(r_a + 1, 1), :] = carry2
+
+            c = cpos1 - jnp.where(cross_l, 128, 0)
+            r1 = r_a + jnp.where(cross_l, 1, 0)
+            carry = jnp.where(cross_l, carry2, carry)
+            carry2 = jnp.where(cross_l, ZERO, carry2)
+
+            a = jnp.clip(opos1 - offset + OBASE - c,
+                         -128, 128 * (PR + NR - 1))
+            f = a >> 7
+            sl = a & 127
+            w = ovmem[pl.ds(f + 1, 3), :]
+            rot = w if "noroll" in _ABLATE else \
+                pltpu.roll(w, -sl, axis=1)
+            v1 = jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
+            v2 = jnp.where(lane < 128 - sl, rot[1:2], rot[2:3])
+            mcarry = merge(carry, v1, c, mlen)
+            mcarry2 = merge(carry2, v2, c - 128, mlen)
+
+            ok_m = jnp.logical_and(
+                jnp.logical_and(ok_l, ip_adv <= n),
+                jnp.logical_and(offset > 0, offset <= opos1 + plen))
+            ok_m = jnp.logical_and(ok_m, opos2 <= olim)
+
+            do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
+            cross_m = jnp.logical_and(do_match, c + mlen >= 128)
+
+            @pl.when(cross_m)
+            def _():
+                ovmem[pl.ds(r1, 1), :] = mcarry
+
+            ok_end = jnp.logical_and(ended, ok_l)
+            if resumable:
+                # token-boundary rewind: restore the carry that matches
+                # the already-stored token row (carry_tok went to r_a)
+                v_m = jnp.logical_and(
+                    ip_adv <= n,
+                    jnp.logical_and(offset > 0, offset <= opos1 + plen))
+                hard = jnp.logical_or(
+                    ipm > n,
+                    jnp.logical_and(jnp.logical_not(ended),
+                                    jnp.logical_not(v_m)))
+                carry = jnp.where(
+                    cross_m, mcarry2,
+                    jnp.where(do_match, mcarry,
+                              jnp.where(ok_end, carry, carry_tok)))
+                ip = jnp.where(do_match, ip_adv,
+                               jnp.where(ok_end, ipm, ip))
+                opos = jnp.where(do_match, opos2,
+                                 jnp.where(ok_end, opos1, opos))
+                status = jnp.where(ok_end, 1,
+                                   jnp.where(do_match, 0,
+                                             jnp.where(hard, 2, 3)))
+            else:
+                carry = jnp.where(cross_m, mcarry2,
+                                  jnp.where(do_match, mcarry, carry))
+                ip = jnp.where(do_match, ip_adv, ipm)
+                opos = jnp.where(do_match, opos2,
+                                 jnp.where(ok_l, opos1, opos))
+                status = jnp.where(ok_end, 1, jnp.where(do_match, 0, 2))
+            # r_a/r_b stores put the literal content through opos1 in
+            # ovmem unconditionally on this path
+            fl = jnp.maximum(fl, opos1)
+            return (ip.astype(jnp.int32), opos.astype(jnp.int32),
+                    status.astype(jnp.int32), carry, fl)
+
 
         def seq_body(state):
             ip, opos, status, carry, fl = state
             # TWO preparse side tables, loaded INDEPENDENTLY (round 5):
             # pval(ip) carries the token-side fields, pvalB(ip) the
-            # match-header fields (offset/mlen/admission flags) gathered
-            # by the VPU (preparse_match_rows), so no scalar load ever
-            # waits on another load's result for this sequence
+            # match-header fields (offset/mlen/admission bits) gathered
+            # by the VPU (preparse_match_rows) — the hot fast path never
+            # pays the old chained sval(ip + mdelta) load.  preB covers
+            # only no-literal-extension sequences; the cold branch below
+            # re-derives the fields with the chained load, so ext-literal
+            # sequences still reach the mid path (not the general one).
             p1 = pval(ip)
             p2 = pvalB(ip)
             mpos = ip + (p1 & 1023)
@@ -694,19 +770,32 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             ip_adv = mpos + 2 + is_ext
             lit_ip = mpos - ll
             cpos = opos & 127
-            # unified-fast iff: at most ONE literal- and ONE match-
-            # extension byte, match offset >= mlen (no overlap doubling),
-            # and output envelope within two rows (tot <= 251; covers
-            # literal runs up to 247 bytes via the 3-row input roll).
-            # Everything else — longer extension chains, overlapping
-            # matches, >251-byte envelopes — takes the general path.
             base_ok = ((p2 >> 25) & 3) == 3
             tot = cpos + ll + mlen
-            fm = jnp.logical_and(base_ok, tot <= 251)
+            fast = jnp.logical_and(jnp.logical_and(base_ok, ll <= 12),
+                                   tot <= 123)
 
-            return lax.cond(fm, fm_seq, slow_seq,
+            def not_fast(ip, opos, carry, fl, ll, lit_ip, mlb,
+                         cpos, mlen_, offset_, ip_adv):
+                # cold branch: chained re-derivation (also covers the
+                # ext-literal sequences preB declares invalid)
+                v2 = sval(mpos)
+                offset2 = v2 & 0xFFFF
+                extb = (v2 >> 16) & 0xFF
+                mlen2 = mlb + is_ext * extb
+                ok_ext = jnp.logical_and(
+                    (p1 >> 25) != 0,
+                    jnp.logical_or(is_ext == 0, extb != 255))
+                base2 = jnp.logical_and(ok_ext, offset2 >= mlen2)
+                midc = jnp.logical_and(base2, cpos + ll + mlen2 <= 251)
+                return lax.cond(midc, mid_seq, slow_seq,
+                                ip, opos, carry, fl, ll, lit_ip,
+                                mlb, cpos, mlen2, offset2, ip_adv)
+
+            return lax.cond(fast, fast_seq, not_fast,
                             ip, opos, carry, fl, ll, lit_ip, mlb,
                             cpos, mlen, offset, ip_adv)
+
 
         def seq_cond(state):
             return jnp.logical_and(state[2] == 0, state[0] < n)

@@ -145,6 +145,24 @@ def _xxh64_stripes(wordsT, ns_rows, *, T, B, interpret):
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("T", "B", "interpret"))
+def _xxh64_device(packed_words, lens, ns_rows, *, T, B, interpret):
+    """Fused device path: pad/transpose, stripe kernel, and tail-word
+    extraction in ONE jit — only the accumulators and [B,8] tail words
+    leave the device (the old path fetched the ENTIRE input for the
+    <32-byte tail, hiding the kernel behind a full-buffer transfer)."""
+    B0, W0 = packed_words.shape
+    w = jnp.pad(packed_words.astype(jnp.int32),
+                ((0, B - B0), (0, 8 * T - W0)))
+    acc = _xxh64_stripes(w.T, ns_rows, T=T, B=B, interpret=interpret)
+    base = (lens // 32 * 8).astype(jnp.int32)           # [B0]
+    idx = base[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(idx, W0 - 1)
+    tailw = jnp.take_along_axis(packed_words.astype(jnp.int32),
+                                idx, axis=1)            # [B0, 8]
+    return acc, tailw
+
+
 def xxh64_batch(packed_words, lens, seed: int = 0):
     """XXH64 of B independent buffers, 32-byte stripes on the VPU.
 
@@ -160,16 +178,16 @@ def xxh64_batch(packed_words, lens, seed: int = 0):
     B0, W0 = packed_words.shape
     B = -(-B0 // 128) * 128
     T = max(-(-W0 // (8 * CHUNK)), 1) * CHUNK
-    w = jnp.pad(packed_words.astype(jnp.int32),
-                ((0, B - B0), (0, 8 * T - W0)))
-    wordsT = w.T                      # [8T, B]
     ns = np.zeros((8, B), np.int32)
     ns[0, :B0] = (lens_np // 32).astype(np.int32)
     seed64 = np.uint64(seed)
     ns[1, :] = np.uint32(int(seed64) >> 32).view(np.int32)
     ns[2, :] = np.uint32(int(seed64) & 0xFFFFFFFF).view(np.int32)
-    acc = np.asarray(_xxh64_stripes(wordsT, jnp.asarray(ns),
-                                    T=T, B=B, interpret=on_cpu()))
+    acc_d, tailw_d = _xxh64_device(
+        packed_words, jnp.asarray(lens_np.astype(np.int32)),
+        jnp.asarray(ns), T=T, B=B, interpret=on_cpu())
+    acc = np.asarray(acc_d)
+    tailw = np.asarray(tailw_d).astype(np.uint32).astype(np.uint64)
     acc = np.ascontiguousarray(acc[:, :B0]).view(np.uint32)\
         .astype(np.uint64)
     v = [(acc[2 * k] << np.uint64(32)) | acc[2 * k + 1] for k in range(4)]
@@ -190,18 +208,20 @@ def xxh64_batch(packed_words, lens, seed: int = 0):
     h = np.where(big, h_big, seed64 + P5)
     h = (h + lens_np.astype(np.uint64))
 
-    words = np.asarray(packed_words).astype(np.uint32)[:B0] \
-        .astype(np.uint64)
+    # tail content lives in the 8 words at the last stripe boundary
+    # (rem <= 31), exactly what tailw holds: index relative to base_w
     idx = np.arange(B0)
+    base_w = (lens_np // 32 * 8).astype(np.int64)
     pos = (lens_np // 32 * 32).astype(np.int64)
+
+    def tw(wi):
+        return tailw[idx, np.clip(wi - base_w, 0, 7)]
 
     # 8-byte groups
     for j in range(3):
         m = lens_np - pos >= 8
-        wi = np.minimum(pos // 4, words.shape[1] - 2)
-        k8 = words[idx, wi] | (words[idx, np.minimum(wi + 1,
-                                                     words.shape[1] - 1)]
-                               << np.uint64(32))
+        wi = pos // 4
+        k8 = tw(wi) | (tw(wi + 1) << np.uint64(32))
         cand = h ^ (rotl(k8 * P2, 31) * P1)
         cand = rotl(cand, 27) * P1 + P4
         h = np.where(m, cand, h)
@@ -209,8 +229,7 @@ def xxh64_batch(packed_words, lens, seed: int = 0):
 
     # 4-byte group
     m = lens_np - pos >= 4
-    wi = np.minimum(pos // 4, words.shape[1] - 1)
-    k4 = words[idx, wi] & np.uint64(0xFFFFFFFF)
+    k4 = tw(pos // 4) & np.uint64(0xFFFFFFFF)
     cand = h ^ (k4 * P1)
     cand = rotl(cand, 23) * P2 + P3
     h = np.where(m, cand, h)
@@ -219,9 +238,8 @@ def xxh64_batch(packed_words, lens, seed: int = 0):
     # single bytes
     for j in range(3):
         m = lens_np - pos >= 1
-        wi = np.minimum(pos // 4, words.shape[1] - 1)
         sh = ((pos % 4) * 8).astype(np.uint64)
-        b = (words[idx, wi] >> sh) & np.uint64(0xFF)
+        b = (tw(pos // 4) >> sh) & np.uint64(0xFF)
         cand = h ^ (b * P5)
         cand = rotl(cand, 11) * P1
         h = np.where(m, cand, h)

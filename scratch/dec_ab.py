@@ -22,7 +22,10 @@ sys.path.insert(0, str(REPO))
 
 MB = int(os.environ.get("LZ4TPU_AB_MB", "32"))
 KIND = os.environ.get("LZ4TPU_AB_CORPUS", "pytext")
-MM = int(os.environ.get("LZ4TPU_AB_MM", "14"))
+# LZ4TPU_AB_MM accepts a comma list ("4,6,8"): all points run in ONE
+# process (one device init, shared compile cache)
+MMS = [int(x) for x in os.environ.get("LZ4TPU_AB_MM", "14").split(",")]
+MM = MMS[0]
 RS = int(os.environ.get("LZ4TPU_AB_RS", "3"))
 BLOCK = 65536
 RUNS = 5
@@ -40,7 +43,14 @@ def corpus():
 def main():
     data = corpus()
     mb = len(data) / 1e6
-    print(f"corpus ready: {KIND} {mb:.1f}MB mm={MM} rs={RS}", flush=True)
+    print(f"corpus ready: {KIND} {mb:.1f}MB mm={MMS} rs={RS}", flush=True)
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/lz4t_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from lz4_tpu.kernels.decode_kernel import decode_blocks_linked
     from lz4_tpu.kernels.encode_kernel import encode_blocks_linked
@@ -50,6 +60,14 @@ def main():
     nb = -(-len(data) // BLOCK)
     val, lens = linked_val_rows(data, 1, nb)
     print("uploaded; encoding (compile on first use)...", flush=True)
+    for MM in MMS:
+        run_point(data, mb, nb, val, lens, MM, jnp,
+                  decode_blocks_linked, encode_blocks_linked,
+                  upload_byte_rows, fetch_byte_rows)
+
+
+def run_point(data, mb, nb, val, lens, MM, jnp, decode_blocks_linked,
+              encode_blocks_linked, upload_byte_rows, fetch_byte_rows):
     comp, clen = encode_blocks_linked(val, jnp.asarray(lens), 1,
                                       min_match=MM, reject_step=RS)
     clen_np = np.asarray(clen[0])
@@ -59,6 +77,8 @@ def main():
     outb = fetch_byte_rows(comp[0])
     payloads = [outb[k, :clen_np[k]].tobytes() for k in range(nb)]
     dump = os.environ.get("LZ4TPU_AB_DUMP")
+    if dump and len(MMS) > 1:
+        dump = f"{dump}_mm{MM}.npz"
     if dump:
         # persist the encoded payloads so host-side policy sims
         # (scratch/pair_sim.py) can replay them without TPU time
@@ -115,10 +135,11 @@ def main():
               f"slow={nseq-fast-mid} ({100*(nseq-fast-mid)/nseq:.1f}%) "
               f"bytes/seq={len(data)/nseq:.1f}", flush=True)
 
-        # pair-rate telemetry: replay the ROUND-5 unified-path admission
-        # (lane A: <=1 ext byte each, offset >= mlen, two-row envelope
-        # tot <= 251; pair lanes: fast-class, ROW-LOCAL, source below
-        # A's literal end) and count sequences retired per iteration
+        # pair-rate telemetry: replay the SHIPPED fast-path admission
+        # (lane A fast-class: no extension bytes beyond one match ext,
+        # offset >= mlen, ll <= 12, row-local tot <= 123; pair lanes the
+        # same within the row budget, sources below A's literal end) and
+        # count sequences retired per iteration
         from lz4_tpu.kernels.decode_kernel import PAIR_LANES
         iters = multi = retired_in_multi = 0
         losses = {"next_not_fm": 0, "row": 0, "hazard": 0}
@@ -154,8 +175,9 @@ def main():
                 opos, ll, ml, off, end, lle, mle = seqs[k]
                 R = opos & ~127
                 cpos = opos & 127
-                fm_a = (not end and lle <= 1 and mle <= 1
-                        and off >= ml and cpos + ll + ml <= 251)
+                fm_a = (not end and lle == 0 and mle <= 1
+                        and off >= ml and ll <= 12
+                        and cpos + ll + ml <= 123)
                 if not fm_a:
                     k += 1
                     continue
@@ -164,14 +186,13 @@ def main():
                 got = 0
                 while got < PAIR_LANES and j < len(seqs):
                     o2, ll2, ml2, off2, end2, lle2, mle2 = seqs[j]
-                    f2 = (not end2 and lle2 <= 1 and mle2 <= 1
+                    f2 = (not end2 and lle2 == 0 and mle2 <= 1
                           and off2 >= ml2 and ll2 <= 12)
                     if not f2:
                         losses["next_not_fm"] += 1
                         break
                     c2a = o2 - R
-                    rb = c2a & ~127
-                    if c2a + ll2 + ml2 - rb > 123:
+                    if c2a + ll2 + ml2 > 123:
                         losses["row"] += 1
                         break
                     if o2 + ll2 - off2 + ml2 > opos1:
