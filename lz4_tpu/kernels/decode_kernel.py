@@ -68,12 +68,12 @@ if _ABLATE and os.environ.get("LZ4TPU_DEBUG") != "1":
         "LZ4TPU_DEBUG=1 (unset LZ4TPU_DEC_ABLATE to decode normally)")
 
 # how many EXTRA sequences the fast path tries to retire per loop
-# iteration (see fast_seq: the loop body has an ~80ns/iteration floor and
-# additional independent window rolls are nearly free, so packing more
-# fast-class sequences into one iteration is the main per-chip lever).
-# Measured on the real-text corpus at mm=8: 1 extra lane = +13%, a 2nd
-# extra lane LOSES 6% (it rarely passes the same-row budget but its body
-# cost is always paid) — so the default is 1.
+# iteration.  The loop is INSTRUCTION-ISSUE bound with zero latency
+# slack (round-5 PAD probe, docs/SOL.md), so a lane pays only when its
+# marginal ops per retired sequence undercut a solo iteration's ~125:
+# measured at mm=8, 1 extra lane = +13% (its ~60-op body rides the
+# shared parse/advance work), a 2nd lane LOSES ~7% (it rarely passes
+# the row budget but its ops are always issued) — the default is 1.
 PAIR_LANES = int(os.environ.get("LZ4TPU_DEC_PAIR_LANES", "1"))
 
 # diagnostic (timing-only, output-preserving): issue N dummy independent
@@ -1362,7 +1362,7 @@ def _make_stream_decode_kernel(linked: bool):
         floor = jnp.int32(0) if linked else base
 
         def slow_seq(ip, opos, carry, ll_nib, ll_f, litip_f, ml_nib, cpos,
-                     hi, fl, wm, mlen_f, offset_f, ipadv_f):
+                     hi, fl, mlen_f, offset_f, ipadv_f):
             ip = ip + 1
             ext, ip, ok, hi = read_ext(ll_nib, ip, iend, hi)
             litlen = ll_nib + ext
@@ -1398,50 +1398,32 @@ def _make_stream_decode_kernel(linked: bool):
             ip = jnp.where(do_match, ip_m, ip)
 
             status = jnp.where(ended, 1, jnp.where(do_match, 0, 2))
-            # the copy loops materialize completed rows; the partial row
-            # lives only in the carry
-            wm = jnp.maximum(wm, opos & ~127)
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
-                    status.astype(jnp.int32), carry, hi, fl, wm)
+                    status.astype(jnp.int32), carry, hi, fl)
 
-        # ------------------------------------------------------------------
-        # unified fast path (round 5): ring twin of the batch kernel's
-        # fm_seq — two-row envelope (tot <= 251), one fused watermark
-        # flush region, one row-completion store, ROW-LOCAL pair lane.
-        # ``wm`` is the ring watermark: ovmem rows hold every byte < wm;
-        # fm serves nothing from ovmem beyond it without flushing first.
-        # ------------------------------------------------------------------
-
-        def rwin2(qbase, sh):
-            """(v1, v2) frame rows of the output ring for a source whose
-            frame-lane-0 ring byte is ``qbase`` (rebased by sh so the
-            roll never needs more than 3 rows)."""
-            q = qbase & RING_MASK
-            f = q >> 7
-            sl = q & 127
-            w = ovmem[pl.ds(f, 3), :]     # mirror rows cover the wrap
-            rot = pltpu.roll(w, -sl, axis=1)
-            u1 = jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
-            u2 = jnp.where(lane < 128 - sl, rot[1:2], rot[2:3])
-            v2 = jnp.where(sh == 128, u1, u2)
-            return u1, v2
-
-        def fm_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
-                   hi, fl, wm, mlen, offset, ip_adv):
-            # PAIRED like the batch kernel (docs/SOL.md).  Residency: the
-            # refill guard keeps [ip, ip+272) loaded.  When B's token has
-            # a literal-extension nibble, sval(mposb) can read past that
-            # guarantee and may see stale ring bytes; that read is safe
-            # only because ``pair`` requires llb <= 12, which is
-            # impossible when hasb is set, so the stale value is provably
-            # discarded.  Do not widen the pair admission past llb <= 12
-            # without extending the refill guard.
+        def fast_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
+                     hi, fl, mlen, offset, ip_adv):
+            # straight-line common case, widened to the batch kernel's
+            # envelope: up to 12 literals injected from three broadcast
+            # val32 words, one TERMINAL match-length extension byte, no
+            # row completion, no overlap doubling; mlen/offset/ip_adv
+            # precomputed by seq_body (issue-bound scalar core).
+            # PAIRED like the batch kernel's fast path (docs/SOL.md): the
+            # next sequence is parsed too and retired in the same
+            # iteration when it is fast-class, row-local, and its match
+            # source stays below this sequence's match output.  Residency:
+            # the refill guard keeps [ip, ip+272) loaded.  When B's token
+            # has a literal-extension nibble, sval(mposb) can address up
+            # to ~ip+290 — PAST that guarantee — and may read stale ring
+            # bytes; that read is safe only because `pair` requires
+            # llb <= 12, which is impossible when hasb is set, so the
+            # stale value is provably discarded.  Do not widen the pair
+            # admission past llb <= 12 without extending the refill guard.
             ip1 = lit_ip
             ipm = ip1 + ll
             opos1 = opos + ll
-            cpos1 = cpos + ll       # may be >= 128 (one crossing allowed)
+            cpos1 = cpos + ll
             opos2 = opos1 + mlen
-            ZERO = jnp.zeros((1, 128), jnp.int32)
 
             ended = ipm == iend
             ok_l = jnp.logical_and(ipm <= iend, opos1 <= olim)
@@ -1451,7 +1433,7 @@ def _make_stream_decode_kernel(linked: bool):
             ok_m = jnp.logical_and(ok_m, opos2 <= olim)
             do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
 
-            # ---- sequence B at ip_adv (row-local pair lane) ----
+            # ---- sequence B at ip_adv (pair lane) ----
             vb0 = sval(ip_adv)
             llnb = (vb0 >> 4) & 15
             mlnb = vb0 & 15
@@ -1470,15 +1452,13 @@ def _make_stream_decode_kernel(linked: bool):
             oposb1 = opos2 + llb
             cposb1 = cposb + llb
             oposb2 = oposb1 + mlenb
-            rbx = cposb & ~127
             ok_eb = jnp.logical_and(
                 jnp.logical_or(mlnb < 15, extbb != 255),
                 jnp.logical_or(jnp.logical_not(hasb), lleb != 255))
             pair = jnp.logical_and(
                 jnp.logical_and(do_match,
                                 jnp.logical_and(ok_eb, offb >= mlenb)),
-                jnp.logical_and(llb <= 12,
-                                cposb1 + mlenb - rbx <= 123))
+                jnp.logical_and(llb <= 12, cposb1 + mlenb <= 123))
             pair = jnp.logical_and(pair, mposb != iend)
             pair = jnp.logical_and(pair, ip_advb <= iend)
             pair = jnp.logical_and(pair, oposb2 <= olim)
@@ -1486,15 +1466,54 @@ def _make_stream_decode_kernel(linked: bool):
                 pair, jnp.logical_and(offb > 0, offb <= oposb1 - floor))
             pair = jnp.logical_and(pair, oposb1 - offb + mlenb <= opos1)
 
-            # lane A literals: broadcast for <= 12, 3-row ring roll else
-            def lit_b(carry):
-                return lit12(carry, ip1, cpos, ll, two_rows=True)
+            carry, _ = lit12(carry, ip1, cpos, ll, two_rows=False)
 
-            def lit_r(carry):
+            # unconditional ring store: watermark-gating this store was
+            # measured SLOWER here (round 5: the need computation's ops
+            # exceed the store's — the loop is issue-bound, docs/SOL.md)
+            ostore(orow(opos), carry)
+            v = owindow(opos1 - offset - cpos1)
+            vb = owindow(oposb1 - offb - cposb1)
+            carry = merge(carry, v, cpos1, jnp.where(do_match, mlen, 0))
+            carry, _ = lit12(carry, lit_ipb, cposb,
+                             jnp.where(pair, llb, 0), two_rows=False)
+            carry = merge(carry, vb, cposb1, jnp.where(pair, mlenb, 0))
+
+            ip = jnp.where(pair, ip_advb,
+                           jnp.where(do_match, ip_adv, ipm))
+            opos = jnp.where(pair, oposb2,
+                             jnp.where(do_match, opos2,
+                                       jnp.where(ok_l, opos1, opos)))
+            status = jnp.where(jnp.logical_and(ended, ok_l), 1,
+                               jnp.where(do_match, 0, 2))
+            return (ip.astype(jnp.int32), opos.astype(jnp.int32),
+                    status.astype(jnp.int32), carry, hi, fl)
+
+
+        def mid_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
+                    hi, fl, mlen, offset, ip_adv):
+            # one-row-crossing analog of the batch kernel's mid path (see
+            # _make_decode_kernel): literal runs up to 247 bytes come from
+            # ONE 3-row input-ring roll; ring-row indexing for the match;
+            # plus a page flush when the crossing completes a 64KB page.
+            # All bytes [ip, ip+272) are resident (seq_body's refill
+            # guard), so no ensure() is needed here.
+            ipm = lit_ip + ll
+            opos1 = opos + ll
+            cpos1 = cpos + ll        # <= 247 (tot <= 251, mlen >= 4)
+            opos2 = opos1 + mlen
+            ZERO = jnp.zeros((1, 128), jnp.int32)
+
+            def lit_broadcast(carry):
+                # ll <= 12: broadcast injection, no roll (_make_lit12)
+                return lit12(carry, lit_ip, cpos, ll, two_rows=True)
+
+            def lit_roll(carry):
+                # long run (13..247 bytes): one 3-row input-ring roll
                 ql = (lit_ip - cpos) & RING_MASK
                 f_l = ql >> 7
                 sl_l = ql & 127
-                w_l = cvmem[pl.ds(f_l, 3), :]
+                w_l = cvmem[pl.ds(f_l, 3), :]  # rows 1023+ = the mirrors
                 rot_l = pltpu.roll(w_l, -sl_l, axis=1)
                 lv1 = jnp.where(lane < 128 - sl_l,
                                 rot_l[0:1], rot_l[1:2])
@@ -1503,65 +1522,64 @@ def _make_stream_decode_kernel(linked: bool):
                 return (merge(carry, lv1, cpos, ll),
                         merge(ZERO, lv2, cpos - 128, ll))
 
-            carry, c2 = lax.cond(ll <= 12, lit_b, lit_r, carry)
+            carry, carry2 = lax.cond(ll <= 12, lit_broadcast, lit_roll,
+                                     carry)
 
-            # fused watermark flush: ONE conditional region
-            need = opos1 - offset + mlen > wm
-            need = jnp.logical_or(need, jnp.logical_and(
-                pair, oposb1 - offb + mlenb > wm))
+            ended = ipm == iend
+            ok_l = jnp.logical_and(ipm <= iend, opos1 <= olim)
+
             r_a = orow(opos)
+            r_b = (r_a + 1) & (2 * PAGE_ROWS - 1)
+            ostore(r_a, carry)
+            cross_l = cpos1 >= 128
 
-            @pl.when(need)
+            @pl.when(cross_l)
             def _():
-                ostore(r_a, carry)
+                ostore(r_b, carry2)
 
-                @pl.when(cpos1 > 128)
-                def _():
-                    ostore((r_a + 1) & (2 * PAGE_ROWS - 1), c2)
-            wm = jnp.where(need, opos1, wm)
+            c = cpos1 - jnp.where(cross_l, 128, 0)
+            r1 = jnp.where(cross_l, r_b, r_a)
+            carry = jnp.where(cross_l, carry2, carry)
+            carry2 = jnp.where(cross_l, ZERO, carry2)
 
-            # lane A match: 3-row ring read, rebased when crossing
-            sh = jnp.where(cpos1 >= 128, 128, 0)
-            v1, v2 = rwin2(opos1 - offset - (cpos1 - sh), sh)
-            mtake = jnp.where(do_match, mlen, 0)
-            carry = merge(carry, v1, cpos1, mtake)
-            c2 = merge(c2, v2, cpos1 - 128, mtake)
+            q = (opos1 - offset - c) & RING_MASK
+            f = q >> 7
+            sl = q & 127
+            w = ovmem[pl.ds(f, 3), :]
+            rot = pltpu.roll(w, -sl, axis=1)
+            v1 = jnp.where(lane < 128 - sl, rot[0:1], rot[1:2])
+            v2 = jnp.where(lane < 128 - sl, rot[1:2], rot[2:3])
+            mcarry = merge(carry, v1, c, mlen)
+            mcarry2 = merge(carry2, v2, c - 128, mlen)
 
-            # lane B: single 2-row read aligned to its OWN row; the same
-            # vector merges into both frame rows (one mask is empty)
-            vb = owindow(oposb1 - offb - (cposb1 - rbx))
-            carry, c2 = lit12(carry, lit_ipb, cposb,
-                              jnp.where(pair, llb, 0), two_rows=True,
-                              carry2=c2)
-            tb = jnp.where(pair, mlenb, 0)
-            carry = merge(carry, vb, cposb1, tb)
-            c2 = merge(c2, vb, cposb1 - 128, tb)
+            ok_m = jnp.logical_and(
+                jnp.logical_and(ok_l, ip_adv <= iend),
+                jnp.logical_and(offset > 0, offset <= opos1 - floor))
+            ok_m = jnp.logical_and(ok_m, opos2 <= olim)
 
-            ip = jnp.where(pair, ip_advb,
-                           jnp.where(do_match, ip_adv, ipm))
-            opos_n = jnp.where(pair, oposb2,
-                               jnp.where(do_match, opos2,
-                                         jnp.where(ok_l, opos1, opos)))
+            do_match = jnp.logical_and(jnp.logical_not(ended), ok_m)
+            cross_m = jnp.logical_and(do_match, c + mlen >= 128)
+
+            @pl.when(cross_m)
+            def _():
+                ostore(r1, mcarry)
+
+            carry = jnp.where(cross_m, mcarry2,
+                              jnp.where(do_match, mcarry, carry))
+            ip = jnp.where(do_match, ip_adv, ipm)
+            opos_new = jnp.where(do_match, opos2,
+                                 jnp.where(ok_l, opos1, opos))
+            fl = lax.cond((opos_new >> 16) > (opos >> 16),
+                          lambda f_: flush(opos_new, f_),
+                          lambda f_: f_, fl)
             status = jnp.where(jnp.logical_and(ended, ok_l), 1,
                                jnp.where(do_match, 0, 2))
-
-            # row completion: store once, promote c2
-            crossed = (opos_n >> 7) > (opos >> 7)
-
-            @pl.when(crossed)
-            def _():
-                ostore(r_a, carry)
-            carry = jnp.where(crossed, c2, carry)
-            wm = jnp.maximum(wm, jnp.where(crossed, opos_n & ~127, 0))
-            fl = lax.cond((opos_n >> 16) > (opos >> 16),
-                          lambda f_: flush(opos_n, f_),
-                          lambda f_: f_, fl)
-            return (ip.astype(jnp.int32), opos_n.astype(jnp.int32),
-                    status.astype(jnp.int32), carry, hi, fl, wm)
+            return (ip.astype(jnp.int32), opos_new.astype(jnp.int32),
+                    status.astype(jnp.int32), carry, hi, fl)
 
 
         def seq_body(st2):
-            ip, opos, status, carry, hi, fl, wm = st2
+            ip, opos, status, carry, hi, fl = st2
             # The page check rides the loop as a RARE branch instead of an
             # inline while_loop: an inner loop in the hot body forces the
             # carry vector and scalars through spill slots every sequence
@@ -1573,15 +1591,15 @@ def _make_stream_decode_kernel(linked: bool):
                 # lit ext + 247 literals + match header, < 272 bytes) is
                 # resident; the input upload carries 2*PAGE+256 slack so
                 # the lookahead never DMAs past the buffer
-                return (ip, opos, status, carry, ensure(ip + 252, hi),
-                        fl, wm)
+                return (ip, opos, status, carry,
+                        ensure(ip + 252, hi), fl)
 
             def work():
-                return seq_work(ip, opos, status, carry, hi, fl, wm)
+                return seq_work(ip, opos, status, carry, hi, fl)
 
             return lax.cond(ip + 272 <= hi, work, refill)
 
-        def seq_work(ip, opos, status, carry, hi, fl, wm):
+        def seq_work(ip, opos, status, carry, hi, fl):
             v = sval(ip)
             token = v & 0xFF
             ll_nib = token >> 4
@@ -1602,11 +1620,20 @@ def _make_stream_decode_kernel(linked: bool):
                 jnp.logical_or(jnp.logical_not(has_lle), lle_b != 255))
             base_ok = jnp.logical_and(ok_ext, offset >= mlen)
             tot = cpos + ll + mlen
-            fm = jnp.logical_and(base_ok, tot <= 251)
+            fast = jnp.logical_and(jnp.logical_and(base_ok, ll <= 12),
+                                   tot <= 123)
+            midc = jnp.logical_and(base_ok, tot <= 251)
 
-            return lax.cond(fm, fm_seq, slow_seq,
+            def not_fast(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib,
+                         cpos, hi, fl, mlen, offset, ip_adv):
+                return lax.cond(midc, mid_seq, slow_seq,
+                                ip, opos, carry, ll_nib, ll, lit_ip,
+                                ml_nib, cpos, hi, fl, mlen, offset,
+                                ip_adv)
+
+            return lax.cond(fast, fast_seq, not_fast,
                             ip, opos, carry, ll_nib, ll, lit_ip, ml_nib,
-                            cpos, hi, fl, wm, mlen, offset, ip_adv)
+                            cpos, hi, fl, mlen, offset, ip_adv)
 
         def seq_cond(st2):
             ip, opos, status = st2[0], st2[1], st2[2]
@@ -1617,10 +1644,9 @@ def _make_stream_decode_kernel(linked: bool):
             # (everything below ``base`` was materialized by the previous
             # block's final ostore, so the ring watermark starts at base)
             carry0 = ovmem[pl.ds(orow(base), 1), :]
-            ip, opos, status, carry, hi, fl, _wm = lax.while_loop(
+            ip, opos, status, carry, hi, fl = lax.while_loop(
                 seq_cond, seq_body,
-                (g0, base, jnp.int32(0), carry0, state[1], state[2],
-                 base))
+                (g0, base, jnp.int32(0), carry0, state[1], state[2]))
             ostore(orow(opos), carry)
             return opos, status, hi, fl
 

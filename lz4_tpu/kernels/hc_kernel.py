@@ -45,7 +45,10 @@ from ..spec import compress_bound
 MAX_BLOCK = 1 << 16           # one 64KB block per window
 DEFAULT_LEVEL = 9
 import os as _os
-SUFFICIENT_LEN = int(_os.environ.get("LZ4T_HC_SUFF", "64"))
+# (sweep harnesses may pass a comma list; the module default is the
+# first entry, and scratch/hc_ab.py rebinds + clears the jit cache)
+SUFFICIENT_LEN = int(
+    _os.environ.get("LZ4T_HC_SUFF", "64").split(",")[0])
 
 
 @jax.jit

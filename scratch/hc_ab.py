@@ -31,17 +31,26 @@ def main():
     packed, lens = np_pack_rows(blocks, bs)
     val = bytes_to_val32_rows(jnp.asarray(packed), bs)
     lens_d = jnp.asarray(lens)
-    out, olen = encode_blocks_hc(val, lens_d, LEVEL)
-    olen_np = np.asarray(olen)
-    ratio = olen_np.sum() / len(data)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _, o2 = encode_blocks_hc(val, lens_d, LEVEL)
-        _ = np.asarray(o2)
-        ts.append(time.perf_counter() - t0)
-    print(f"HC{LEVEL} device: {mb / min(ts):6.1f} MB/s  ratio={ratio:.4f} "
-          f"({mb:.0f}MB corpus)", flush=True)
+    # LZ4T_HC_SUFF accepts a comma list: sweep SUFFICIENT_LEN values in
+    # ONE process (one device init; the jit cache is cleared per point)
+    from lz4_tpu.kernels import hc_kernel as hk
+    suffs = [int(x) for x in
+             os.environ.get("LZ4T_HC_SUFF", str(hk.SUFFICIENT_LEN))
+             .split(",")]
+    for suff in suffs:
+        hk.SUFFICIENT_LEN = suff
+        hk._encode_blocks_hc.clear_cache()
+        out, olen = encode_blocks_hc(val, lens_d, LEVEL)
+        olen_np = np.asarray(olen)
+        ratio = olen_np.sum() / len(data)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, o2 = encode_blocks_hc(val, lens_d, LEVEL)
+            _ = np.asarray(o2)
+            ts.append(time.perf_counter() - t0)
+        print(f"HC{LEVEL} device (SUFF={suff}): {mb / min(ts):6.1f} MB/s"
+              f"  ratio={ratio:.4f} ({mb:.0f}MB corpus)", flush=True)
     sys.path.insert(0, str(REPO / "tests"))
     from tests import oracle
     if oracle.available():
