@@ -486,15 +486,15 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
 
         # validity checks (all addresses clamped, results discarded on -1).
         #
-        # PAIRED (round 4): the loop body has an ~80ns/iteration floor on
-        # this core, and a SECOND independent window roll in the same
-        # iteration is essentially free (rolls pipeline; measured,
-        # scratch/probe_roll2.py / docs/SOL.md) — so the fast path also
-        # parses the NEXT sequence and, when it also qualifies (fast
-        # class, same output row, and its match source stays below this
-        # sequence's match output), retires BOTH in one iteration.  The
-        # second sequence's effects are branchless: its merges run with
-        # take=0 when the pair is disarmed.
+        # PAIRED (round 4; physics revised round 5 — docs/SOL.md): the
+        # loop is instruction-issue bound, so one extra lane pays because
+        # its ~60-op body rides the shared parse/advance/branch work of
+        # the iteration (a second lane's full body measured net-negative).
+        # The fast path parses the NEXT sequence and, when it also
+        # qualifies (fast class, same output row, and its match source
+        # stays below this sequence's match output), retires BOTH in one
+        # iteration.  The second sequence's effects are branchless: its
+        # merges run with take=0 when the pair is disarmed.
         # ------------------------------------------------------------------
 
         def fast_seq(ip, opos, carry, fl, ll, lit_ip, mlb, cpos,

@@ -101,21 +101,34 @@ def _xxh32_stripes(wordsT, ns_rows, *, T, B, interpret):
     return acc[:4]
 
 
-@functools.partial(jax.jit, static_argnames=("T", "B", "interpret"))
+@jax.jit
+def _tail_words4(packed_words, lens):
+    """[B0, 4] tail words (the last stripe boundary's 4 words) via
+    masked reductions — XLA gather on the minor axis is slow on TPU, and
+    fetching the whole input for the <16-byte tail (the round-4 path)
+    hid the kernel behind a full-buffer transfer."""
+    B0, W0 = packed_words.shape
+    base = (lens // 16 * 4).astype(jnp.int32)
+    iota = jnp.arange(W0, dtype=jnp.int32)[None, :]
+    pw = packed_words.astype(jnp.int32)
+    cols = []
+    for j in range(4):
+        sel = iota == jnp.minimum(base + j, W0 - 1)[:, None]
+        cols.append(jnp.sum(jnp.where(sel, pw, 0), axis=1))
+    return jnp.stack(cols, axis=1)
+
+
 def _xxh32_device(packed_words, lens, ns_rows, *, T, B, interpret):
-    """Fused device path: pad/transpose, stripe kernel, and tail-word
-    extraction in ONE jit — only [4,B] accumulators and [B,4] tail words
-    leave the device (the old path fetched the ENTIRE input for the
-    <16-byte tail, hiding the kernel behind a full-buffer transfer)."""
+    """Device path: pad/transpose EAGERLY (fusing them into one jit with
+    the stripe kernel measured 2x slower — XLA materializes a worse
+    layout for the pallas input), then the stripe kernel, then the
+    [B0,4] tail-word extraction; only accumulators and tails leave the
+    device."""
     B0, W0 = packed_words.shape
     w = jnp.pad(packed_words.astype(jnp.int32),
                 ((0, B - B0), (0, 4 * T - W0)))
     acc = _xxh32_stripes(w.T, ns_rows, T=T, B=B, interpret=interpret)
-    base = (lens // 16 * 4).astype(jnp.int32)           # [B0]
-    idx = base[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]
-    idx = jnp.minimum(idx, W0 - 1)
-    tailw = jnp.take_along_axis(packed_words.astype(jnp.int32),
-                                idx, axis=1)            # [B0, 4]
+    tailw = _tail_words4(packed_words, lens)
     return acc, tailw
 
 
@@ -140,8 +153,12 @@ def xxh32_batch(packed_words, lens, seed: int = 0):
     acc_d, tailw_d = _xxh32_device(
         packed_words, jnp.asarray(lens_np.astype(np.int32)),
         jnp.asarray(ns), T=T, B=B, interpret=on_cpu())
-    acc = np.asarray(acc_d)[:, :B0].astype(np.uint32)
-    tailw = np.asarray(tailw_d).astype(np.uint32)       # [B0, 4]
+    # ONE flat fetch: each host<->device sync costs a tunnel round trip
+    # (~tens of ms), which dominates at realistic batch sizes
+    flat = np.asarray(jnp.concatenate(
+        [acc_d.reshape(-1), tailw_d.reshape(-1)]))
+    acc = flat[:4 * B].reshape(4, B)[:, :B0].astype(np.uint32)
+    tailw = flat[4 * B:].reshape(B0, 4).astype(np.uint32)
 
     # ---- host finish: converge + tail + avalanche (xxhash.c:334-371),
     # numpy over [B0] scalars + the fetched [B0,4] tail words only ----

@@ -145,21 +145,30 @@ def _xxh64_stripes(wordsT, ns_rows, *, T, B, interpret):
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("T", "B", "interpret"))
+@jax.jit
+def _tail_words8(packed_words, lens):
+    """[B0, 8] tail words via masked reductions (see xxh32_kernel's
+    _tail_words4 for rationale)."""
+    B0, W0 = packed_words.shape
+    base = (lens // 32 * 8).astype(jnp.int32)
+    iota = jnp.arange(W0, dtype=jnp.int32)[None, :]
+    pw = packed_words.astype(jnp.int32)
+    cols = []
+    for j in range(8):
+        sel = iota == jnp.minimum(base + j, W0 - 1)[:, None]
+        cols.append(jnp.sum(jnp.where(sel, pw, 0), axis=1))
+    return jnp.stack(cols, axis=1)
+
+
 def _xxh64_device(packed_words, lens, ns_rows, *, T, B, interpret):
-    """Fused device path: pad/transpose, stripe kernel, and tail-word
-    extraction in ONE jit — only the accumulators and [B,8] tail words
-    leave the device (the old path fetched the ENTIRE input for the
-    <32-byte tail, hiding the kernel behind a full-buffer transfer)."""
+    """Device path: eager pad/transpose + stripe kernel + [B0,8] tail
+    extraction (see xxh32_kernel._xxh32_device for why the three are
+    not fused into one jit)."""
     B0, W0 = packed_words.shape
     w = jnp.pad(packed_words.astype(jnp.int32),
                 ((0, B - B0), (0, 8 * T - W0)))
     acc = _xxh64_stripes(w.T, ns_rows, T=T, B=B, interpret=interpret)
-    base = (lens // 32 * 8).astype(jnp.int32)           # [B0]
-    idx = base[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
-    idx = jnp.minimum(idx, W0 - 1)
-    tailw = jnp.take_along_axis(packed_words.astype(jnp.int32),
-                                idx, axis=1)            # [B0, 8]
+    tailw = _tail_words8(packed_words, lens)
     return acc, tailw
 
 
@@ -186,8 +195,12 @@ def xxh64_batch(packed_words, lens, seed: int = 0):
     acc_d, tailw_d = _xxh64_device(
         packed_words, jnp.asarray(lens_np.astype(np.int32)),
         jnp.asarray(ns), T=T, B=B, interpret=on_cpu())
-    acc = np.asarray(acc_d)
-    tailw = np.asarray(tailw_d).astype(np.uint32).astype(np.uint64)
+    # ONE flat fetch (each sync costs a tunnel round trip)
+    flat = np.asarray(jnp.concatenate(
+        [acc_d.reshape(-1), tailw_d.reshape(-1)]))
+    acc = flat[:8 * B].reshape(8, B)
+    tailw = flat[8 * B:].reshape(B0, 8).astype(np.uint32) \
+        .astype(np.uint64)
     acc = np.ascontiguousarray(acc[:, :B0]).view(np.uint32)\
         .astype(np.uint64)
     v = [(acc[2 * k] << np.uint64(32)) | acc[2 * k + 1] for k in range(4)]

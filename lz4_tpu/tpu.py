@@ -141,6 +141,24 @@ def decode_batch(comp_list: List[bytes], out_cap: int,
 # frame pipeline
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("NB", "BS"))
+def _chunk_windows(packed, prev_tail, prefix_len, *, NB, BS):
+    """[NB, BS//4] packed words of ONE chunk + [1, BS//4] previous-tail
+    words -> [1, NB, 2*BS] val32 window rows, built on device: the chunk
+    crosses the link ONCE (the round-4 chunked compressor materialized
+    the [prev | cur] windows on the host, doubling upload traffic).
+    Row 0's window is the tail's last ``prefix_len`` bytes
+    (right-aligned); lanes below it are zeroed (the scan's ``q >= low``
+    guard never reads them, so lane-granular masking is safe)."""
+    prev = jnp.concatenate([prev_tail, packed[:-1]], axis=0)
+    rows2 = jnp.concatenate([prev, packed], axis=1)
+    val = bytes_to_val32_rows(rows2, 2 * BS)
+    lanepos = jnp.arange(2 * BS, dtype=jnp.int32)
+    keep = lanepos >= (BS - prefix_len)
+    val = val.at[0].set(jnp.where(keep, val[0], 0))
+    return val.reshape(1, NB, 2 * BS)
+
+
 @functools.partial(jax.jit, static_argnames=("S", "NB", "BS"))
 def _linked_windows(packed, *, S, NB, BS):
     """[S*NB, BS//4] packed words of the FLAT stream -> [S, NB, 2*BS]
@@ -632,6 +650,8 @@ class DeviceFrameCompressor:
         self._xxh = XXH32State(0)
         self._begun = False
         self._pending = None    # dispatched device work awaiting fetch
+        self._tail_dev = None   # (device [1, BS//4] words, len): window
+                                # handoff without re-uploading the tail
 
     def begin(self) -> bytes:
         self._begun = True
@@ -687,27 +707,57 @@ class DeviceFrameCompressor:
         """Dispatch device compression of ``data`` without waiting."""
         BS = spec.WINDOW_SIZE
         nb = max(1, -(-len(data) // BS))
-        rows = np.zeros((1, nb, 2 * BS), np.uint8)
-        lens = np.zeros((1, nb), np.int32)
-        for k in range(nb):
-            lo, hi = (k - 1) * BS, (k + 1) * BS
-            if k == 0:
-                rows[0, 0, BS - len(prefix):BS] = np.frombuffer(
-                    prefix, np.uint8)
-                chunk = data[0:hi]
-                rows[0, 0, BS:BS + len(chunk)] = np.frombuffer(
-                    chunk, np.uint8)
+        if data and len(data) % BS == 0:
+            # whole-block chunks (the update() steady state): upload the
+            # packed content ONCE and build the [prev | cur] windows on
+            # device; the window handoff between chunks is a device-
+            # resident slice of the previous chunk's upload, so chunk
+            # content crosses the link exactly once (round-4 host-built
+            # windows doubled the upload)
+            packed_np = np.frombuffer(data, np.uint8).reshape(nb, BS) \
+                .view("<i4")
+            packed_d = jnp.asarray(packed_np)
+            if self._tail_dev is not None:
+                tail_d, plen = self._tail_dev
             else:
-                chunk = data[lo:hi]
-                rows[0, k, :len(chunk)] = np.frombuffer(chunk, np.uint8)
-            lens[0, k] = min(BS, len(data) - k * BS)
-        w = rows.reshape(nb, 2 * BS // 4, 4).astype(np.uint32)
-        packed = (w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
-                  | (w[..., 3] << 24)).astype(np.int32)
-        val = bytes_to_val32_rows(jnp.asarray(packed),
-                                  2 * BS).reshape(1, nb, 2 * BS)
-        prefix_lens = jnp.asarray(
-            np.asarray([len(prefix)], np.int32))
+                t = np.zeros((BS,), np.uint8)
+                if prefix:
+                    t[BS - len(prefix):] = np.frombuffer(prefix, np.uint8)
+                tail_d = jnp.asarray(
+                    np.ascontiguousarray(t).view("<i4")
+                    .reshape(1, BS // 4))
+                plen = len(prefix)
+            val = _chunk_windows(packed_d, tail_d,
+                                 jnp.int32(plen), NB=nb, BS=BS)
+            self._tail_dev = (packed_d[nb - 1:nb], BS)
+            lens = np.full((1, nb), BS, np.int32)
+            prefix_lens = jnp.asarray(np.asarray([plen], np.int32))
+        else:
+            # partial tail (flush()/end()): host-built windows; the
+            # device tail no longer matches the true window afterwards
+            self._tail_dev = None
+            rows = np.zeros((1, nb, 2 * BS), np.uint8)
+            lens = np.zeros((1, nb), np.int32)
+            for k in range(nb):
+                lo, hi = (k - 1) * BS, (k + 1) * BS
+                if k == 0:
+                    rows[0, 0, BS - len(prefix):BS] = np.frombuffer(
+                        prefix, np.uint8)
+                    chunk = data[0:hi]
+                    rows[0, 0, BS:BS + len(chunk)] = np.frombuffer(
+                        chunk, np.uint8)
+                else:
+                    chunk = data[lo:hi]
+                    rows[0, k, :len(chunk)] = np.frombuffer(chunk,
+                                                            np.uint8)
+                lens[0, k] = min(BS, len(data) - k * BS)
+            w = rows.reshape(nb, 2 * BS // 4, 4).astype(np.uint32)
+            packed = (w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
+                      | (w[..., 3] << 24)).astype(np.int32)
+            val = bytes_to_val32_rows(jnp.asarray(packed),
+                                      2 * BS).reshape(1, nb, 2 * BS)
+            prefix_lens = jnp.asarray(
+                np.asarray([len(prefix)], np.int32))
         out, olen_d = encode_blocks_linked(val, jnp.asarray(lens),
                                            self.acceleration,
                                            prefix_lens=prefix_lens,
