@@ -210,11 +210,14 @@ def main():
     # encode-side tuning: min_match drops short matches (fewer sequences =
     # proportionally faster per-chip decode; the decoder is sequence-bound,
     # docs/ARCHITECTURE.md) and reject_step bounds the rescan cost of
-    # rejected candidates.  Round-4 frontier on the REAL-TEXT corpus
-    # (scratch/dec_ab.py sweep, docs/SOL.md): mm=8 is the largest
-    # min_match whose linked ratio still BEATS the reference's own
-    # linked ratio on this corpus (0.3642 vs 0.3759); datagen tolerates
-    # mm=14 but speed must not ride a ratio giveaway.
+    # rejected candidates.  Operating-point RULE (docs/FRONTIER_r05.json,
+    # stated per VERDICT r4 #5): max decode speed subject to the ratio
+    # gate (<= the reference's own linked ratio on the same bytes);
+    # gate-passing points dominated on both axes are retired.  On real
+    # text that selects mm=8 (0.3642 vs gate 0.3759); mm=6 is the
+    # measured ratio optimum (0.3385) for ratio-first users
+    # (--min-match 6); datagen tolerates mm=14 but speed must not ride
+    # a ratio giveaway.
     _mm_default = "8" if CORPUS_KIND == "pytext" else "14"
     _rj_default = "1" if CORPUS_KIND == "pytext" else "3"
     MM = int(os.environ.get("LZ4TPU_BENCH_MIN_MATCH", _mm_default))
