@@ -36,6 +36,10 @@ from .ops.xxhash_native import xxh32 as xxh32_fast
 
 BLOCK = 65536  # device-path block granularity
 
+# linked-chain decode pipelining: blocks per dispatched group (64 = 4MB
+# of content; tests shrink it to exercise multi-group window handoff)
+DEC_GROUP_BLOCKS = 64
+
 
 class DeviceLayoutUnsupported(Lz4FrameError):
     """The frame is (as far as parsed) valid but its layout is outside the
@@ -475,7 +479,7 @@ def decompress_frame_device(frame: bytes) -> Tuple[bytes, int]:
         # compute (double buffering; VERDICT r4 weak #4).  The 64KB
         # window crosses group boundaries as a device-to-device slice of
         # the previous group's last output block — no host round-trip.
-        G = 64                       # 4MB of content per group at 64KB
+        G = DEC_GROUP_BLOCKS         # 4MB of content per group at 64KB
         B = len(payloads)
         ngroups = -(-B // G)
         win = None                   # device [1, bs] int32 byte lanes

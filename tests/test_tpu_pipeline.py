@@ -259,3 +259,35 @@ def test_device_linked_partial_middle_block_falls_back():
     frame = c.begin() + c.update(seg) + c.flush() + c.update(seg) + c.end()
     out, used = decompress_frame_device(frame)
     assert out == seg + seg and used == len(frame)
+
+
+def test_device_linked_multigroup_window_handoff(monkeypatch):
+    """The grouped pipelined decode path (round 5): a linked chain longer
+    than one dispatch group must hand the 64KB window between groups as
+    a device-side slice (decode_blocks_linked init_window) and reassemble
+    in order.  Group size is shrunk so CI exercises 3 groups + padding."""
+    from lz4_tpu import tpu as tpu_mod
+    from lz4_tpu.frame import compress_frame
+    monkeypatch.setattr(tpu_mod, "DEC_GROUP_BLOCKS", 4)
+    data = _mixed_data(11 * 65536 + 12345)      # 12 blocks -> 3 groups
+    prefs = FramePreferences(block_size_id=4, block_independent=False,
+                             content_checksum=True, content_size=len(data))
+    frame = compress_frame(data, prefs)
+    out, used = decompress_frame_device(frame)
+    assert out == data and used == len(frame)
+
+
+def test_device_linked_multigroup_partial_block_falls_back(monkeypatch):
+    """A flushed short block in a LATER group must still route the whole
+    frame to the host fallback (the group containing it reports the
+    mismatch at drain time)."""
+    from lz4_tpu import tpu as tpu_mod
+    from lz4_tpu.frame import FrameCompressor
+    monkeypatch.setattr(tpu_mod, "DEC_GROUP_BLOCKS", 4)
+    seg = gen_buffer(6 * 65536 + 1000, 0.7, 99)
+    prefs = FramePreferences(block_size_id=4, block_independent=False,
+                             content_checksum=True)
+    c = FrameCompressor(prefs)
+    frame = c.begin() + c.update(seg) + c.flush() + c.update(seg) + c.end()
+    out, used = decompress_frame_device(frame)
+    assert out == seg + seg and used == len(frame)
