@@ -71,21 +71,15 @@ if _ABLATE and os.environ.get("LZ4TPU_DEBUG") != "1":
 # iteration.  The loop is INSTRUCTION-ISSUE bound with zero latency
 # slack (round-5 PAD probe, docs/SOL.md), so a lane pays only when its
 # marginal ops per retired sequence undercut a solo iteration's ~125:
-# measured at mm=8, 1 extra lane = +13% (its ~60-op body rides the
-# shared parse/advance work), a 2nd lane LOSES ~7% (it rarely passes
-# the row budget but its ops are always issued) — the default is 1.
+# measured at mm=8, 1 extra lane = +13% (its body rides the shared
+# parse/advance work), a 2nd lane LOSES ~7% (its ops are always
+# issued but it rarely admits) — the default is 1.
 PAIR_LANES = int(os.environ.get("LZ4TPU_DEC_PAIR_LANES", "1"))
 
 # diagnostic (timing-only, output-preserving): issue N dummy independent
-# scalar ops per fast iteration to probe for issue slack — if padding is
-# free, the loop has latency bubbles that interleaving could fill
+# scalar ops per fast iteration to probe for issue slack — the round-5
+# measurement showed padding costs its full issue time (no slack)
 PAD_OPS = int(os.environ.get("LZ4TPU_DEC_PAD", "0"))
-
-# pair lanes admit long literal runs (one 3-row input roll per lane
-# instead of the 12-byte broadcast injection).  Policy replay over the
-# mm=8 corpus (scratch/pair_sim.py): converts most of the
-# next-not-fast pair losses; rolls pipeline within the iteration.
-LANE_LONGLIT = os.environ.get("LZ4TPU_DEC_LANE_LONGLIT", "0") == "1"
 
 
 @jax.jit
@@ -119,51 +113,6 @@ def preparse_rows(vals: jax.Array) -> jax.Array:
             | (ok_lle.astype(jnp.int32) << 25))
 
 
-@jax.jit
-def preparse_match_rows(vals: jax.Array, pre: jax.Array) -> jax.Array:
-    """Second preparse table: preB[p] packs the fields that live at the
-    MATCH HEADER of a sequence starting at p, fetched on the VPU with a
-    15-way select over globally-shifted copies of ``vals`` (shift =
-    1 + literal nibble; each lane's select key is its OWN nibble, so one
-    select level is exact — multi-level shift composition would evaluate
-    later masks at shifted positions and is NOT valid).
-
-    Only sequences WITHOUT a literal-extension byte are covered (the
-    valid bit is clear otherwise and the scalar loop routes them to the
-    general path — they are a few percent of real streams).  This kills
-    the scalar loop's DEPENDENT load chain: deriving a sequence
-    previously took pval(ip) THEN sval(ip + mdelta) — two serialized
-    SMEM loads per lane, and each extra pair lane chained two more.
-    With preB the kernel issues two INDEPENDENT loads per lane (round-5
-    measurement: the lane-serial load chain, not the rolls, is what made
-    extra pair lanes cost ~80-100ns each).
-
-    Packing:
-      bits  0..15  offset   = LE16 at the match header
-      bits 16..24  mlen     = full match length incl. one ext byte
-                              (4..274; 9 bits)
-      bit  25      valid    = no literal-extension byte AND match needs
-                              at most one extension byte
-      bit  26      oge_ml   = offset >= mlen (no overlap doubling)
-    """
-    ll_nib = (vals >> 4) & 0xF
-    w = jnp.roll(vals, -1, axis=1)          # ll_nib == 0
-    for j in range(1, 15):
-        w = jnp.where(ll_nib == j, jnp.roll(vals, -(1 + j), axis=1), w)
-    offset = w & 0xFFFF
-    extb = (w >> 16) & 0xFF
-    mlb = (pre >> 19) & 31
-    is_ext = (pre >> 24) & 1
-    mlen = mlb + is_ext * extb
-    valid = jnp.logical_and(
-        ll_nib < 15,
-        jnp.logical_or(is_ext == 0, extb != 255))
-    return (offset
-            | (mlen << 16)
-            | (valid.astype(jnp.int32) << 25)
-            | ((offset >= mlen).astype(jnp.int32) << 26))
-
-
 def _make_lit12(sval, merge, lane):
     """Shared 12-literal broadcast injection for the fast/mid sequence
     paths of both decode kernels: up to 12 literal bytes from three
@@ -176,20 +125,18 @@ def _make_lit12(sval, merge, lane):
     not scalar op count, is this kernel's critical path (round-4
     measurement, docs/SOL.md).
 
-    Returns ``lit12(carry, lit_ip, cpos, ll, two_rows, carry2)``
-    producing the (row1, row2) carries; with ``two_rows=False`` the
-    second row's merge is skipped (row-local fast path); ``carry2`` is
-    the register the second row merges into (default: a zero row).  The
-    call sites of both decode kernels must agree on this arithmetic,
-    which is why it lives in one place.
+    Returns ``lit12(carry, lit_ip, cpos, ll, two_rows)`` producing the
+    (row1, row2) carries; with ``two_rows=False`` the second row's
+    merge is skipped (row-local fast path).  The call sites of both
+    decode kernels must agree on this arithmetic, which is why it lives
+    in one place.
     """
     ZERO = jnp.zeros((1, 128), jnp.int32)
 
     if "nolit12" in _ABLATE:
-        return lambda carry, lit_ip, cpos, ll, two_rows, carry2=None: \
-            (carry, ZERO if carry2 is None else carry2)
+        return lambda carry, lit_ip, cpos, ll, two_rows: (carry, ZERO)
 
-    def lit12(carry, lit_ip, cpos, ll, two_rows, carry2=None):
+    def lit12(carry, lit_ip, cpos, ll, two_rows):
         w0 = sval(lit_ip)
         wa = sval(lit_ip + 4)
         wb = sval(lit_ip + 8)
@@ -200,10 +147,9 @@ def _make_lit12(sval, merge, lane):
             sh = (d & 3) * 8
             return (w >> sh) & 0xFF
 
-        base2 = ZERO if carry2 is None else carry2
         c1 = merge(carry, litvec(cpos), cpos, ll)
-        c2 = merge(base2, litvec(cpos - 128), cpos - 128, ll) \
-            if two_rows else base2
+        c2 = merge(ZERO, litvec(cpos - 128), cpos - 128, ll) \
+            if two_rows else ZERO
         return c1, c2
 
     return lit12
@@ -236,18 +182,17 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
     sg = mode == "sg"
 
     def kernel(clen_ref, plen_ref, ocap_ref, vals2d_hbm, pre2d_hbm,
-               preB2d_hbm, vals3d_hbm, dict_hbm, out_hbm, olen_ref,
-               *rest):
+               vals3d_hbm, dict_hbm, out_hbm, olen_ref, *rest):
         if resumable:
-            cons_ref, vsmem, psmem, psmem2, cvmem, ovmem = rest[:6]
+            cons_ref, vsmem, psmem, cvmem, ovmem = rest[:5]
         else:
             cons_ref = None
-            vsmem, psmem, psmem2, cvmem, ovmem = rest[:5]
-        rest = rest[6 if resumable else 5:]
+            vsmem, psmem, cvmem, ovmem = rest[:4]
+        rest = rest[5 if resumable else 4:]
         if sg:
-            stage, sem_s, sem_p, sem_p2, sem_v, sem_d, sem_o = rest
+            stage, sem_s, sem_p, sem_v, sem_d, sem_o = rest
         else:
-            sem_s, sem_p, sem_p2, sem_v, sem_d, sem_o = rest
+            sem_s, sem_p, sem_v, sem_d, sem_o = rest
         b = pl.program_id(0)
         n = clen_ref[b]
         lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -277,8 +222,6 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
         cp_s.start()
         cp_p = pltpu.make_async_copy(pre2d_hbm.at[b], psmem, sem_p)
         cp_p.start()
-        cp_p2 = pltpu.make_async_copy(preB2d_hbm.at[b], psmem2, sem_p2)
-        cp_p2.start()
         cp_v = pltpu.make_async_copy(vals3d_hbm.at[b],
                                      cvmem.at[pl.ds(1, MR), :], sem_v)
         cp_v.start()
@@ -325,16 +268,12 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
         cvmem[pl.ds(1, MR), :] = cvmem[pl.ds(1, MR), :] & 0xFF
         cp_s.wait()
         cp_p.wait()
-        cp_p2.wait()
 
         def sval(ip):
             return vsmem[0, jnp.minimum(ip, M - 1)]
 
         def pval(ip):
             return psmem[0, jnp.minimum(ip, M - 1)]
-
-        def pvalB(ip):
-            return psmem2[0, jnp.minimum(ip, M - 1)]
 
         def sbyte(ip):
             return sval(ip) & 0xFF
@@ -484,17 +423,20 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
                     status.astype(jnp.int32), carry, fl)
 
+        # ------------------------------------------------------------------
+        # fast path: no extensions, fits in the current output row, match
+        # offset >= match length.  Straight-line; merges run before the
         # validity checks (all addresses clamped, results discarded on -1).
         #
-        # PAIRED (round 4; physics revised round 5 — docs/SOL.md): the
-        # loop is instruction-issue bound, so one extra lane pays because
-        # its ~60-op body rides the shared parse/advance/branch work of
-        # the iteration (a second lane's full body measured net-negative).
-        # The fast path parses the NEXT sequence and, when it also
-        # qualifies (fast class, same output row, and its match source
-        # stays below this sequence's match output), retires BOTH in one
-        # iteration.  The second sequence's effects are branchless: its
-        # merges run with take=0 when the pair is disarmed.
+        # PAIRED (round 4): the loop body has an ~80ns/iteration floor on
+        # this core, and a SECOND independent window roll in the same
+        # iteration is essentially free (rolls pipeline; measured,
+        # scratch/probe_roll2.py / docs/SOL.md) — so the fast path also
+        # parses the NEXT sequence and, when it also qualifies (fast
+        # class, same output row, and its match source stays below this
+        # sequence's match output), retires BOTH in one iteration.  The
+        # second sequence's effects are branchless: its merges run with
+        # take=0 when the pair is disarmed.
         # ------------------------------------------------------------------
 
         def fast_seq(ip, opos, carry, fl, ll, lit_ip, mlb, cpos,
@@ -508,8 +450,8 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             opos2 = opos1 + mlen
 
             if PAD_OPS:
-                # issue-slack probe: 4 independent dummy chains, results
-                # folded in through a branch no compiler can resolve
+                # issue-slack probe: 4 independent dummy chains, folded
+                # in through a branch no compiler can resolve
                 pads = [ip + 1, opos + 3, ll + 7, mlen + 11]
                 for _i in range(PAD_OPS // 4):
                     pads = [(d * 5 + _i) & 0xFFFF for d in pads]
@@ -533,25 +475,26 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             prev_ok = do_match
             ip_cur, opos_cur, cpos_cur = ip_adv, opos2, cpos1 + mlen
             for _ in range(PAIR_LANES):
-                # both side-table loads are INDEPENDENT (preB carries the
-                # match-header fields; preparse_match_rows) — no load in
-                # this lane waits on another load's result
                 p1x = pval(ip_cur)
-                p2x = pvalB(ip_cur)
                 mposx = ip_cur + (p1x & 1023)
-                offx = p2x & 0xFFFF
+                v2x = sval(mposx)
+                offx = v2x & 0xFFFF
+                extbx = (v2x >> 16) & 0xFF
                 llx = (p1x >> 10) & 0x1FF
                 is_extx = (p1x >> 24) & 1
-                mlenx = (p2x >> 16) & 0x1FF
+                mlenx = ((p1x >> 19) & 31) + is_extx * extbx
                 ip_advx = mposx + 2 + is_extx
                 lit_ipx = jnp.maximum(mposx - llx, 0)
                 oposx1 = opos_cur + llx
                 cposx = cpos_cur
                 cposx1 = cposx + llx
                 oposx2 = oposx1 + mlenx
-                ok_ex = ((p2x >> 25) & 3) == 3  # no-ext AND off>=mlen
+                ok_ex = jnp.logical_and(
+                    (p1x >> 25) != 0,
+                    jnp.logical_or(is_extx == 0, extbx != 255))
                 px = jnp.logical_and(
-                    jnp.logical_and(prev_ok, ok_ex),
+                    jnp.logical_and(prev_ok,
+                                    jnp.logical_and(ok_ex, offx >= mlenx)),
                     jnp.logical_and(llx <= 12, cposx1 + mlenx <= 123))
                 px = jnp.logical_and(px, mposx != n)
                 px = jnp.logical_and(px, ip_advx <= n)
@@ -748,54 +691,49 @@ def _make_decode_kernel(M: int, N: int, P: int, mode: str = "batch",
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
                     status.astype(jnp.int32), carry, fl)
 
-
         def seq_body(state):
             ip, opos, status, carry, fl = state
-            # TWO preparse side tables, loaded INDEPENDENTLY (round 5):
-            # pval(ip) carries the token-side fields, pvalB(ip) the
-            # match-header fields (offset/mlen/admission bits) gathered
-            # by the VPU (preparse_match_rows) — the hot fast path never
-            # pays the old chained sval(ip + mdelta) load.  preB covers
-            # only no-literal-extension sequences; the cold branch below
-            # re-derives the fields with the chained load, so ext-literal
-            # sequences still reach the mid path (not the general one).
+            # preparse side table (preparse_rows): one load hands the
+            # scalar core the token fields it used to re-derive op by op;
+            # a second load at mpos yields offset AND the match-extension
+            # byte from the same val32 word
             p1 = pval(ip)
-            p2 = pvalB(ip)
             mpos = ip + (p1 & 1023)
-            offset = p2 & 0xFFFF
-            mlen = (p2 >> 16) & 0x1FF
+            v2 = sval(mpos)
+            offset = v2 & 0xFFFF
+            extb = (v2 >> 16) & 0xFF
             ll = (p1 >> 10) & 0x1FF
             is_ext = (p1 >> 24) & 1
             mlb = (p1 >> 19) & 31
+            mlen = mlb + is_ext * extb
             ip_adv = mpos + 2 + is_ext
             lit_ip = mpos - ll
             cpos = opos & 127
-            base_ok = ((p2 >> 25) & 3) == 3
+            # fast/mid iff: at most ONE literal- and ONE match-extension
+            # byte, and match offset >= mlen (no overlap doubling); fast
+            # additionally requires literals <= 12 (broadcast-injectable)
+            # and no row crossing (strict, so the carry never flushes on
+            # fill); mid allows one crossing (total <= 251 bytes) and any
+            # literal run that fits it (the dominant rejected-match class
+            # at min_match >= 12, scratch/mmstudy.py)
+            ok_ext = jnp.logical_and(
+                (p1 >> 25) != 0,
+                jnp.logical_or(is_ext == 0, extb != 255))
+            base_ok = jnp.logical_and(ok_ext, offset >= mlen)
             tot = cpos + ll + mlen
             fast = jnp.logical_and(jnp.logical_and(base_ok, ll <= 12),
                                    tot <= 123)
+            midc = jnp.logical_and(base_ok, tot <= 251)
 
             def not_fast(ip, opos, carry, fl, ll, lit_ip, mlb,
-                         cpos, mlen_, offset_, ip_adv):
-                # cold branch: chained re-derivation (also covers the
-                # ext-literal sequences preB declares invalid)
-                v2 = sval(mpos)
-                offset2 = v2 & 0xFFFF
-                extb = (v2 >> 16) & 0xFF
-                mlen2 = mlb + is_ext * extb
-                ok_ext = jnp.logical_and(
-                    (p1 >> 25) != 0,
-                    jnp.logical_or(is_ext == 0, extb != 255))
-                base2 = jnp.logical_and(ok_ext, offset2 >= mlen2)
-                midc = jnp.logical_and(base2, cpos + ll + mlen2 <= 251)
+                         cpos, mlen, offset, ip_adv):
                 return lax.cond(midc, mid_seq, slow_seq,
                                 ip, opos, carry, fl, ll, lit_ip,
-                                mlb, cpos, mlen2, offset2, ip_adv)
+                                mlb, cpos, mlen, offset, ip_adv)
 
             return lax.cond(fast, fast_seq, not_fast,
                             ip, opos, carry, fl, ll, lit_ip, mlb,
                             cpos, mlen, offset, ip_adv)
-
 
         def seq_cond(state):
             return jnp.logical_and(state[2] == 0, state[0] < n)
@@ -860,7 +798,6 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
             | (jnp.roll(c, -2, axis=1) << 16)
             | (jnp.roll(c, -3, axis=1) << 24))
     pre = preparse_rows(vals)
-    preB = preparse_match_rows(vals, pre)
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -880,16 +817,13 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.SMEM((1, M), jnp.int32),
             pltpu.SMEM((1, M), jnp.int32),
-            pltpu.SMEM((1, M), jnp.int32),
             pltpu.VMEM((MR + 4, 128), jnp.int32),
             pltpu.VMEM((3 + PR + NR, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -905,7 +839,7 @@ def _decode_blocks(comp, clen, dict_rows, plen, ocap, *, M, N, P, interpret,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(clen, plen, ocap, vals.reshape(B, 1, M), pre.reshape(B, 1, M),
-      preB.reshape(B, 1, M), vals.reshape(B, MR, 128), dict_rows)
+      vals.reshape(B, MR, 128), dict_rows)
     if resumable:
         out, olen, cons = res
         return out.reshape(B, N), olen, cons
@@ -925,13 +859,11 @@ def _decode_blocks_sg(comp, clen, cum, ocap, *, M, N, TOTR, interpret):
             | (jnp.roll(c, -2, axis=1) << 16)
             | (jnp.roll(c, -3, axis=1) << 24))
     pre = preparse_rows(vals)
-    preB = preparse_match_rows(vals, pre)
     dict_rows = jnp.zeros((B, 1, 128), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -944,11 +876,9 @@ def _decode_blocks_sg(comp, clen, cum, ocap, *, M, N, TOTR, interpret):
         scratch_shapes=[
             pltpu.SMEM((1, M), jnp.int32),
             pltpu.SMEM((1, M), jnp.int32),
-            pltpu.SMEM((1, M), jnp.int32),
             pltpu.VMEM((MR + 4, 128), jnp.int32),
             pltpu.VMEM((3 + PR + NR, 128), jnp.int32),
             pltpu.VMEM((PR + NR + 2, 128), jnp.int32),   # stage
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -966,7 +896,7 @@ def _decode_blocks_sg(comp, clen, cum, ocap, *, M, N, TOTR, interpret):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(clen, cum, ocap, vals.reshape(B, 1, M), pre.reshape(B, 1, M),
-      preB.reshape(B, 1, M), vals.reshape(B, MR, 128), dict_rows)
+      vals.reshape(B, MR, 128), dict_rows)
     return out, olen
 
 
@@ -1468,9 +1398,6 @@ def _make_stream_decode_kernel(linked: bool):
 
             carry, _ = lit12(carry, ip1, cpos, ll, two_rows=False)
 
-            # unconditional ring store: watermark-gating this store was
-            # measured SLOWER here (round 5: the need computation's ops
-            # exceed the store's — the loop is issue-bound, docs/SOL.md)
             ostore(orow(opos), carry)
             v = owindow(opos1 - offset - cpos1)
             vb = owindow(oposb1 - offb - cposb1)
@@ -1488,7 +1415,6 @@ def _make_stream_decode_kernel(linked: bool):
                                jnp.where(do_match, 0, 2))
             return (ip.astype(jnp.int32), opos.astype(jnp.int32),
                     status.astype(jnp.int32), carry, hi, fl)
-
 
         def mid_seq(ip, opos, carry, ll_nib, ll, lit_ip, ml_nib, cpos,
                     hi, fl, mlen, offset, ip_adv):
@@ -1577,7 +1503,6 @@ def _make_stream_decode_kernel(linked: bool):
             return (ip.astype(jnp.int32), opos_new.astype(jnp.int32),
                     status.astype(jnp.int32), carry, hi, fl)
 
-
         def seq_body(st2):
             ip, opos, status, carry, hi, fl = st2
             # The page check rides the loop as a RARE branch instead of an
@@ -1587,12 +1512,11 @@ def _make_stream_decode_kernel(linked: bool):
             # pages the ring and the next iteration re-enters with the
             # bytes resident.
             def refill():
-                # page so the unified path's whole envelope (1 token + 1
-                # lit ext + 247 literals + match header, < 272 bytes) is
+                # page so the mid path's whole envelope (1 token + 1 lit
+                # ext + 247 literals + match header, < 272 bytes) is
                 # resident; the input upload carries 2*PAGE+256 slack so
                 # the lookahead never DMAs past the buffer
-                return (ip, opos, status, carry,
-                        ensure(ip + 252, hi), fl)
+                return (ip, opos, status, carry, ensure(ip + 252, hi), fl)
 
             def work():
                 return seq_work(ip, opos, status, carry, hi, fl)
@@ -1628,21 +1552,18 @@ def _make_stream_decode_kernel(linked: bool):
                          cpos, hi, fl, mlen, offset, ip_adv):
                 return lax.cond(midc, mid_seq, slow_seq,
                                 ip, opos, carry, ll_nib, ll, lit_ip,
-                                ml_nib, cpos, hi, fl, mlen, offset,
-                                ip_adv)
+                                ml_nib, cpos, hi, fl, mlen, offset, ip_adv)
 
             return lax.cond(fast, fast_seq, not_fast,
                             ip, opos, carry, ll_nib, ll, lit_ip, ml_nib,
                             cpos, hi, fl, mlen, offset, ip_adv)
 
         def seq_cond(st2):
-            ip, opos, status = st2[0], st2[1], st2[2]
+            ip, opos, status, _, _h, _f = st2
             return jnp.logical_and(status == 0, ip < iend)
 
         def do_parse():
             # carry-in: the partial row of the previous block's output
-            # (everything below ``base`` was materialized by the previous
-            # block's final ostore, so the ring watermark starts at base)
             carry0 = ovmem[pl.ds(orow(base), 1), :]
             ip, opos, status, carry, hi, fl = lax.while_loop(
                 seq_cond, seq_body,
